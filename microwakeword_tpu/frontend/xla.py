@@ -1,0 +1,158 @@
+"""JAX/XLA micro-frontend: the on-device (TPU) feature pipeline.
+
+TPU-first design (not a port of the C code's loop structure):
+
+- Framing uses strided slices of 10 ms chunks (no gathers).
+- Window + real DFT are folded into two [480 x 257] matmuls that run on the
+  MXU: mel_energy = ((f@WC)^2 + (f@WS)^2) @ MEL.  A 512-point FFT would
+  underutilize the MXU at this size; a dense DFT matmul is faster and fuses
+  with the mel projection.
+- The only sequential part (noise-suppression EMA + PCAN, ~tens of FLOPs per
+  channel per hop) runs as a `lax.scan` over hops with a [B, 40] carry.
+
+Numerics match microwakeword_tpu.frontend.reference (and through it the C
+micro frontend, see reference.py docstring): uint16-quantized features,
+float = uint16 * 0.0390625 in [0, 26].
+
+Public entry points:
+- ``frontend_batch(audio_int16[B, N])    -> features[B, T, 40] float32``
+- ``frontend_streaming(frames, est)      -> (features, est)`` for scan-style
+  streaming inference with explicit carried state.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from microwakeword_tpu.frontend import reference as ref
+
+NUM_CHANNELS = ref.NUM_CHANNELS
+WINDOW_SAMPLES = ref.WINDOW_SAMPLES
+FEATURE_SCALE = ref.FEATURE_SCALE
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_mel_constants():
+    """Window-folded DFT cos/sin matrices and the mel matrix (f64->f32)."""
+    w = ref.hann_window()  # [480]
+    n = np.arange(ref.FFT_SIZE)
+    k = np.arange(ref.N_FFT_BINS)
+    # rfft with zero padding to 512: X_k = sum_{i<480} x_i w_i e^{-2pi i j k/512}
+    ang = 2.0 * np.pi * np.outer(n[: ref.WINDOW_SAMPLES], k) / ref.FFT_SIZE
+    wc = (w[:, None] * np.cos(ang)).astype(np.float32)  # [480, 257]
+    ws = (w[:, None] * -np.sin(ang)).astype(np.float32)
+    mel = ref.mel_filterbank_matrix().astype(np.float32)  # [257, 40]
+    smoothing = ref._SMOOTHING.astype(np.float32)  # [40]
+    # NOTE: return plain NumPy -- jnp.asarray inside a jit trace would return
+    # (and leak, via the lru_cache) a tracer. NumPy constants are embedded
+    # per-trace by XLA.
+    return wc, ws, mel, smoothing
+
+
+def frame_audio(audio: jnp.ndarray, step_ms: int = 10) -> jnp.ndarray:
+    """[..., N] samples -> [..., T, 480] frames, hop = 16*step_ms samples.
+
+    Implemented with three strided slices over 10 ms chunks (480 = 3 * 160),
+    which XLA lowers to cheap reshapes -- no gather.
+    """
+    if step_ms not in (10, 20):
+        raise ValueError("step_ms must be 10 or 20")
+    hop_chunks = step_ms // 10  # hops per 10ms chunk stride
+    n = audio.shape[-1]
+    n_chunks = n // 160
+    t = 1 + (n - WINDOW_SAMPLES) // (160 * hop_chunks) if n >= WINDOW_SAMPLES else 0
+    if t <= 0:
+        return jnp.zeros(audio.shape[:-1] + (0, WINDOW_SAMPLES), audio.dtype)
+    chunks = audio[..., : n_chunks * 160].reshape(audio.shape[:-1] + (n_chunks, 160))
+    parts = [
+        jax.lax.slice_in_dim(chunks, j, j + (t - 1) * hop_chunks + 1, hop_chunks, axis=-2)
+        for j in range(3)
+    ]
+    return jnp.concatenate(parts, axis=-1)
+
+
+def scaled_filterbank(frames: jnp.ndarray) -> jnp.ndarray:
+    """[..., T, 480] float32 frames -> [..., T, 40] scaled-filterbank amps.
+
+    Two MXU matmuls + fused elementwise; see module docstring.
+    """
+    wc, ws, mel, _ = _dft_mel_constants()
+    re = jnp.matmul(frames, wc, preferred_element_type=jnp.float32)
+    im = jnp.matmul(frames, ws, preferred_element_type=jnp.float32)
+    energy = re * re + im * im
+    return jnp.sqrt(jnp.maximum(energy @ mel, 0.0)) / 8.0
+
+
+def _agc_step(est, s, smoothing):
+    """One hop of noise suppression + PCAN + log scale.
+
+    est, s: [..., 40].  Returns (new_est, uint16-valued float features).
+    """
+    est = (1.0 - smoothing) * est + smoothing * s
+    sub = jnp.maximum(s - jnp.minimum(est, s), ref.MIN_SIGNAL_REMAINING * s)
+    snr = (sub / 8.0) * jnp.power(1.0 + est / ref.PCAN_OFFSET, -ref.PCAN_STRENGTH)
+    pcan = jnp.where(snr < 2.0, snr * snr / 4.0, snr - 1.0)
+    pcan_q6 = jnp.floor(pcan * (1 << ref.PCAN_OUTPUT_BITS))
+    value = pcan_q6 * (1 << ref.CORRECTION_BITS)
+    logged = jnp.where(
+        value > 1.0,
+        jnp.log(jnp.maximum(value, 1.0)) * (1 << ref.LOG_SCALE_SHIFT),
+        0.0,
+    )
+    feats = jnp.clip(jnp.round(logged), 0, 65535)
+    return est, feats
+
+
+def frontend_streaming(
+    sf: jnp.ndarray, noise_estimate: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """AGC over precomputed scaled-filterbank amps with explicit state.
+
+    sf: [T, ..., 40] (time-major); noise_estimate: [..., 40].
+    Returns (features [T, ..., 40] float32 in [0, 26], final estimate).
+    """
+    _, _, _, smoothing = _dft_mel_constants()
+
+    def step(est, s):
+        est, feats = _agc_step(est, s, smoothing)
+        return est, feats
+
+    est, feats = jax.lax.scan(step, noise_estimate, sf)
+    return feats * FEATURE_SCALE, est
+
+
+@functools.partial(jax.jit, static_argnames=("step_ms",))
+def frontend_batch(audio: jnp.ndarray, step_ms: int = 10) -> jnp.ndarray:
+    """[B, N] int16/float samples -> [B, T, 40] float32 features in [0, 26].
+
+    Float inputs are interpreted in [-1, 1] and converted with the
+    reference's clip(x*32768) convention (audio_utils.py:47-48).
+    """
+    if jnp.issubdtype(audio.dtype, jnp.floating):
+        audio = jnp.clip(audio * 32768.0, -32768.0, 32767.0)
+        audio = jnp.round(audio)
+    audio = audio.astype(jnp.float32)
+    frames = frame_audio(audio, step_ms)  # [B, T, 480]
+    sf = scaled_filterbank(frames)  # [B, T, 40]
+    est0 = jnp.zeros(sf.shape[:-2] + (NUM_CHANNELS,), jnp.float32)
+    feats, _ = frontend_streaming(jnp.moveaxis(sf, -2, 0), est0)
+    return jnp.moveaxis(feats, 0, -2)
+
+
+def streaming_state_init(batch_shape: tuple = ()) -> jnp.ndarray:
+    """Initial noise-estimate state for frontend_streaming."""
+    return jnp.zeros(batch_shape + (NUM_CHANNELS,), jnp.float32)
+
+
+def frontend_step(
+    window: jnp.ndarray, noise_estimate: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-hop streaming step: [..., 480] samples -> ([..., 40], state)."""
+    sf = scaled_filterbank(window.astype(jnp.float32))
+    _, _, _, smoothing = _dft_mel_constants()
+    est, feats = _agc_step(noise_estimate, sf, smoothing)
+    return feats * FEATURE_SCALE, est

@@ -1,0 +1,70 @@
+"""XLA frontend vs NumPy reference: must agree (near-)exactly, both forms."""
+import os
+
+import numpy as np
+import pytest
+
+from microwakeword_tpu.frontend import reference as ref
+from microwakeword_tpu.frontend import xla as fx
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "frontend.npz")
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return np.load(GOLDEN)
+
+
+@pytest.mark.parametrize("step_ms", [10, 20])
+def test_batch_matches_reference(golden, step_ms):
+    audio = golden["audio_modulated"]
+    want = (
+        ref.MicroFrontend(step_ms=step_ms).process_clip(audio).astype(np.float32)
+        * ref.FEATURE_SCALE
+    )
+    got = np.asarray(fx.frontend_batch(audio[None, :], step_ms=step_ms))[0]
+    assert got.shape == want.shape
+    # f32 matmul vs f64 numpy can flip the floor/round at rare boundaries.
+    d = np.abs(got - want)
+    assert (d > 0.5).mean() < 0.003
+    assert np.median(d) == 0.0
+
+
+def test_batch_is_batched(golden):
+    a1 = golden["audio_modulated"]
+    a2 = golden["audio_speechish"]
+    batch = np.stack([a1, a2])
+    got = np.asarray(fx.frontend_batch(batch))
+    solo1 = np.asarray(fx.frontend_batch(a1[None]))[0]
+    solo2 = np.asarray(fx.frontend_batch(a2[None]))[0]
+    np.testing.assert_allclose(got[0], solo1, atol=1e-5)
+    np.testing.assert_allclose(got[1], solo2, atol=1e-5)
+
+
+def test_streaming_step_matches_batch(golden):
+    audio = golden["audio_speechish"][:16000]
+    batch = np.asarray(fx.frontend_batch(audio[None]))[0]
+    frames = ref.frame_audio(audio, 10)
+    est = fx.streaming_state_init()
+    outs = []
+    for t in range(frames.shape[0]):
+        f, est = fx.frontend_step(frames[t].astype(np.float32), est)
+        outs.append(np.asarray(f))
+    stream = np.stack(outs)
+    np.testing.assert_allclose(stream, batch, atol=1e-4)
+
+
+def test_float_input_convention(golden):
+    audio = golden["audio_noise_2000"]
+    gi = np.asarray(fx.frontend_batch(audio[None]))
+    gf = np.asarray(fx.frontend_batch((audio.astype(np.float32) / 32768.0)[None]))
+    np.testing.assert_allclose(gi, gf, atol=1e-5)
+
+
+def test_frame_audio_matches_reference(golden):
+    audio = golden["audio_noise_50"]
+    for step_ms in (10, 20):
+        want = ref.frame_audio(audio, step_ms)
+        got = np.asarray(fx.frame_audio(audio.astype(np.float32), step_ms))
+        assert got.shape == want.shape
+        np.testing.assert_array_equal(got, want.astype(np.float32))
