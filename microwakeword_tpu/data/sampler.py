@@ -1,0 +1,209 @@
+"""On-device training-batch sampler.
+
+The reference assembles every batch in Python (random.choices over
+providers, per-sample mmap reads, numpy SpecAugment -- data.py:540-569),
+serially between train steps; SURVEY.md §7 identifies this as its biggest
+throughput sin.  Here the entire training corpus is resident in HBM as one
+flat uint16 array, and batch assembly -- weighted provider choice,
+clip choice, truncation-window selection, left-zero-padding, uint16->f32
+scaling and SpecAugment -- is a single jitted function of a PRNG key,
+fusable into the train step (zero host work per step).
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FEATURE_SCALE = 0.0390625
+MAX_CUTOFFS = 8
+
+# truncation strategy ids
+RANDOM, TRUNCATE_START, TRUNCATE_END, FIXED_RIGHT_CUTOFF = 0, 1, 2, 3
+_STRATEGY_IDS = {
+    "random": RANDOM,
+    "truncate_start": TRUNCATE_START,
+    "truncate_end": TRUNCATE_END,
+    "fixed_right_cutoff": FIXED_RIGHT_CUTOFF,
+    # "split"/"none" are eval-only strategies; training samplers treat
+    # them as random (the reference never trains with them).
+    "split": RANDOM,
+    "none": RANDOM,
+}
+
+
+@flax.struct.dataclass
+class PackedTrainingData:
+    """All training spectrograms + provider metadata as device arrays."""
+
+    frames: jnp.ndarray  # [total_frames, n_features] uint16
+    clip_offset: jnp.ndarray  # [n_clips] int32 frame offset
+    clip_length: jnp.ndarray  # [n_clips] int32
+    provider_logits: jnp.ndarray  # [P] f32 log sampling weight
+    provider_clip_start: jnp.ndarray  # [P] int32 index into clip_* arrays
+    provider_clip_count: jnp.ndarray  # [P] int32
+    provider_label: jnp.ndarray  # [P] f32
+    provider_penalty: jnp.ndarray  # [P] f32
+    provider_strategy: jnp.ndarray  # [P] int32
+    provider_cutoffs: jnp.ndarray  # [P, MAX_CUTOFFS] int32
+    provider_n_cutoffs: jnp.ndarray  # [P] int32
+
+
+def pack_training_data(providers) -> PackedTrainingData:
+    """Concatenates every provider's training split into device arrays."""
+    frames_parts, offsets, lengths = [], [], []
+    p_logit, p_start, p_count, p_label, p_penalty, p_strategy = [], [], [], [], [], []
+    p_cutoffs, p_ncut = [], []
+    frame_pos = 0
+    clip_pos = 0
+    for p in providers:
+        n_clips = 0
+        for store in p.stores["training"]:
+            arr = np.ascontiguousarray(store.data)
+            frames_parts.append(arr)
+            offs = np.asarray(store.offsets[:-1], np.int64) + frame_pos
+            offsets.append(offs)
+            lengths.append(np.diff(store.offsets))
+            frame_pos += arr.shape[0]
+            n_clips += len(store)
+        if n_clips == 0:
+            continue
+        p_logit.append(np.log(p.sampling_weight) if p.sampling_weight > 0 else -1e30)
+        p_start.append(clip_pos)
+        p_count.append(n_clips)
+        p_label.append(p.label)
+        p_penalty.append(p.penalty_weight)
+        p_strategy.append(_STRATEGY_IDS[p.truncation_strategy])
+        cuts = list(p.fixed_right_cutoffs)[:MAX_CUTOFFS]
+        p_cutoffs.append(cuts + [0] * (MAX_CUTOFFS - len(cuts)))
+        p_ncut.append(len(cuts))
+        clip_pos += n_clips
+    if not frames_parts:
+        raise ValueError("no training spectrograms found in any provider")
+    return PackedTrainingData(
+        frames=jnp.asarray(np.concatenate(frames_parts, axis=0)),
+        clip_offset=jnp.asarray(np.concatenate(offsets).astype(np.int32)),
+        clip_length=jnp.asarray(np.concatenate(lengths).astype(np.int32)),
+        provider_logits=jnp.asarray(np.asarray(p_logit, np.float32)),
+        provider_clip_start=jnp.asarray(np.asarray(p_start, np.int32)),
+        provider_clip_count=jnp.asarray(np.asarray(p_count, np.int32)),
+        provider_label=jnp.asarray(np.asarray(p_label, np.float32)),
+        provider_penalty=jnp.asarray(np.asarray(p_penalty, np.float32)),
+        provider_strategy=jnp.asarray(np.asarray(p_strategy, np.int32)),
+        provider_cutoffs=jnp.asarray(np.asarray(p_cutoffs, np.int32)),
+        provider_n_cutoffs=jnp.asarray(np.asarray(p_ncut, np.int32)),
+    )
+
+
+def apply_spec_augment(
+    rng: jax.Array,
+    feats: jnp.ndarray,
+    time_mask_max_size: int,
+    time_mask_count: int,
+    freq_mask_max_size: int,
+    freq_mask_count: int,
+) -> jnp.ndarray:
+    """Vectorized per-sample SpecAugment (reference data.py:32-71 semantics:
+    size ~ floor(U[0,max)), start ~ randint(0, dim-size) inclusive)."""
+    b, t, f = feats.shape
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (b, t), 1)
+    f_iota = jax.lax.broadcasted_iota(jnp.int32, (b, f), 1)
+    for _ in range(time_mask_count):
+        rng, r1, r2 = jax.random.split(rng, 3)
+        size = jnp.floor(
+            jax.random.uniform(r1, (b,)) * time_mask_max_size
+        ).astype(jnp.int32)
+        start = jnp.floor(
+            jax.random.uniform(r2, (b,)) * (t - size + 1).astype(jnp.float32)
+        ).astype(jnp.int32)
+        keep = (t_iota < start[:, None]) | (t_iota >= (start + size)[:, None])
+        feats = feats * keep[:, :, None]
+    for _ in range(freq_mask_count):
+        rng, r1, r2 = jax.random.split(rng, 3)
+        size = jnp.floor(
+            jax.random.uniform(r1, (b,)) * freq_mask_max_size
+        ).astype(jnp.int32)
+        start = jnp.floor(
+            jax.random.uniform(r2, (b,)) * (f - size + 1).astype(jnp.float32)
+        ).astype(jnp.int32)
+        keep = (f_iota < start[:, None]) | (f_iota >= (start + size)[:, None])
+        feats = feats * keep[:, None, :]
+    return feats
+
+
+def sample_batch(
+    data: PackedTrainingData,
+    rng: jax.Array,
+    batch_size: int,
+    features_length: int,
+    time_mask_max_size: int = 0,
+    time_mask_count: int = 0,
+    freq_mask_max_size: int = 0,
+    freq_mask_count: int = 0,
+):
+    """Draws one training batch entirely on device.
+
+    Returns (features [B, L, F] f32 in [0,26], labels [B], weights [B]).
+    """
+    r_prov, r_clip, r_win, r_cut, r_aug = jax.random.split(rng, 5)
+    b, length = batch_size, features_length
+
+    # 1. Weighted provider choice (reference random.choices w/ sampling_weight).
+    prov = jax.random.categorical(r_prov, data.provider_logits, shape=(b,))
+    # 2. Uniform clip within provider.
+    u_clip = jax.random.uniform(r_clip, (b,))
+    count = data.provider_clip_count[prov]
+    clip = data.provider_clip_start[prov] + jnp.minimum(
+        jnp.floor(u_clip * count).astype(jnp.int32), count - 1
+    )
+    n = data.clip_length[clip]
+    off = data.clip_offset[clip]
+
+    # 3. Window start per provider truncation strategy.
+    strategy = data.provider_strategy[prov]
+    u_win = jax.random.uniform(r_win, (b,))
+    # random: randint(0, n - L) (high-exclusive; n > L guaranteed in branch)
+    start_random = jnp.floor(u_win * jnp.maximum(n - length, 1)).astype(jnp.int32)
+    start_tstart = n - length
+    start_tend = jnp.zeros_like(n)
+    ncut = data.provider_n_cutoffs[prov]
+    cut_idx = jnp.minimum(
+        jnp.floor(jax.random.uniform(r_cut, (b,)) * ncut).astype(jnp.int32), ncut - 1
+    )
+    cutoff = data.provider_cutoffs[prov, cut_idx]
+    start_cutoff = n - length - cutoff
+    start_long = jnp.select(
+        [
+            strategy == RANDOM,
+            strategy == TRUNCATE_START,
+            strategy == TRUNCATE_END,
+            strategy == FIXED_RIGHT_CUTOFF,
+        ],
+        [start_random, start_tstart, start_tend, start_cutoff],
+    )
+    # Short clips: right-align with left zero padding (start may be negative).
+    start = jnp.where(n > length, start_long, n - length)
+
+    # 4. Gather windows.
+    rel = start[:, None] + jnp.arange(length)[None, :]  # [B, L]
+    valid = (rel >= 0) & (rel < n[:, None])
+    rows = off[:, None] + jnp.clip(rel, 0, (n - 1)[:, None])
+    feats = jnp.take(data.frames, rows, axis=0).astype(jnp.float32)
+    feats = feats * valid[:, :, None] * FEATURE_SCALE
+
+    # 5. SpecAugment.
+    if time_mask_count or freq_mask_count:
+        feats = apply_spec_augment(
+            r_aug,
+            feats,
+            time_mask_max_size,
+            time_mask_count,
+            freq_mask_max_size,
+            freq_mask_count,
+        )
+
+    labels = data.provider_label[prov]
+    weights = data.provider_penalty[prov]
+    return feats, labels, weights

@@ -1,0 +1,215 @@
+"""Data layer tests: ragged store round-trip, FeatureHandler semantics,
+and the on-device sampler's mechanics vs the host (reference) semantics."""
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from microwakeword_tpu.data.ragged_store import RaggedSpectrogramStore
+from microwakeword_tpu.data.store import (
+    FeatureHandler,
+    fixed_length_spectrogram,
+    spec_augment,
+)
+from microwakeword_tpu.data import sampler as S
+
+
+def make_specs(rng, n, min_len=5, max_len=60):
+    return [
+        (rng.uniform(0, 660, size=(rng.integers(min_len, max_len), 40))).astype(
+            np.uint16
+        )
+        for _ in range(n)
+    ]
+
+
+@pytest.fixture()
+def dataset_dir(tmp_path):
+    """Two feature sets (positive wakeword / negative ambient) with stores."""
+    rng = np.random.default_rng(0)
+    pos = tmp_path / "pos"
+    neg = tmp_path / "neg"
+    specs = {}
+    for root, n, min_len, max_len in [
+        (pos / "training", 20, 30, 70),
+        (pos / "validation", 6, 30, 70),
+        (pos / "testing", 6, 30, 70),
+        (neg / "training", 15, 10, 40),
+        (neg / "validation", 5, 10, 40),
+        (neg / "validation_ambient", 2, 400, 500),
+        (neg / "testing_ambient", 2, 400, 500),
+    ]:
+        root.mkdir(parents=True, exist_ok=True)
+        s = make_specs(rng, n, min_len, max_len)
+        RaggedSpectrogramStore.create(str(root / "wakeword_mmap"), s)
+        specs[str(root)] = s
+    config = {
+        "stride": 1,
+        "window_step_ms": 10,
+        "features": [
+            {
+                "features_dir": str(pos),
+                "truth": True,
+                "sampling_weight": 2.0,
+                "penalty_weight": 1.0,
+                "truncation_strategy": "truncate_start",
+                "type": "mmap",
+            },
+            {
+                "features_dir": str(neg),
+                "truth": False,
+                "sampling_weight": 1.0,
+                "penalty_weight": 0.8,
+                "truncation_strategy": "random",
+                "type": "mmap",
+            },
+        ],
+    }
+    return config, specs
+
+
+def test_ragged_store_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    specs = make_specs(rng, 7)
+    store = RaggedSpectrogramStore.create(str(tmp_path / "x_mmap"), specs)
+    assert len(store) == 7
+    for i, s in enumerate(specs):
+        np.testing.assert_array_equal(store[i], s)
+    reopened = RaggedSpectrogramStore(str(tmp_path / "x_mmap"))
+    np.testing.assert_array_equal(reopened[3], specs[3])
+    assert reopened.total_frames == sum(s.shape[0] for s in specs)
+
+
+def test_fixed_length_strategies():
+    spec = np.arange(50 * 40, dtype=np.float32).reshape(50, 40)
+    out = fixed_length_spectrogram(spec, 20, "truncate_start")
+    np.testing.assert_array_equal(out, spec[30:])
+    out = fixed_length_spectrogram(spec, 20, "truncate_end")
+    np.testing.assert_array_equal(out, spec[:20])
+    out = fixed_length_spectrogram(spec, 20, "fixed_right_cutoff", right_cutoff=5)
+    np.testing.assert_array_equal(out, spec[25:45])
+    out = fixed_length_spectrogram(spec, 60, "random")
+    assert out.shape == (60, 40)
+    np.testing.assert_array_equal(out[:10], 0)  # left zero pad
+    np.testing.assert_array_equal(out[10:], spec)
+    out = fixed_length_spectrogram(spec, 20, "none")
+    assert out.shape == (50, 40)
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        out = fixed_length_spectrogram(spec, 20, "random", rng=rng)
+        assert out.shape == (20, 40)
+        # window is a contiguous slice
+        start = int(out[0, 0] // 40)
+        np.testing.assert_array_equal(out, spec[start : start + 20])
+
+
+def test_spec_augment_masks():
+    rng = np.random.default_rng(2)
+    spec = np.ones((30, 40), np.float32)
+    out = spec_augment(spec, 10, 2, 10, 2, rng)
+    assert out.shape == spec.shape
+    assert (out == 0).any()
+    # zeros form full rows / columns only
+    zero_rows = (out == 0).all(axis=1)
+    zero_cols = (out == 0).all(axis=0)
+    mixed = (out == 0) & ~zero_rows[:, None] & ~zero_cols[None, :]
+    assert not mixed.any()
+
+
+def test_feature_handler_modes(dataset_dir):
+    config, _ = dataset_dir
+    fh = FeatureHandler(config)
+    assert fh.get_mode_size("training") == 35
+    assert fh.get_mode_size("validation") == 11
+    assert fh.get_mode_size("validation_ambient") == 2
+    assert fh.get_mode_duration("validation_ambient") > 0
+    x, y, w = fh.get_data("training", batch_size=32, features_length=30)
+    assert x.shape == (32, 30, 40) and y.shape == (32,) and w.shape == (32,)
+    assert set(np.unique(y)) <= {0.0, 1.0}
+    assert x.max() <= 26.0 and x.min() >= 0.0
+    # validation covers every spectrogram once
+    x, y, w = fh.get_data("validation", batch_size=0, features_length=30,
+                          truncation_strategy="truncate_start")
+    assert x.shape[0] == 11
+    # ambient split windows advance int(1000*step_s*stride) slices
+    x, y, w = fh.get_data("validation_ambient", batch_size=0, features_length=30,
+                          truncation_strategy="split")
+    assert x.shape[0] > 50
+    assert (y == 0).all()
+    # "none" returns ragged list
+    x, y, w = fh.get_data("testing_ambient", batch_size=0, features_length=30,
+                          truncation_strategy="none")
+    assert isinstance(x, list) and x[0].shape[1] == 40
+
+
+def test_device_sampler(dataset_dir):
+    config, _ = dataset_dir
+    fh = FeatureHandler(config)
+    packed = fh.pack_training()
+    assert packed.frames.shape[1] == 40
+    sample = jax.jit(
+        functools.partial(S.sample_batch, batch_size=64, features_length=30,
+                          time_mask_max_size=5, time_mask_count=2,
+                          freq_mask_max_size=5, freq_mask_count=2)
+    )
+    feats, labels, weights = sample(packed, jax.random.PRNGKey(0))
+    assert feats.shape == (64, 30, 40)
+    assert float(feats.max()) <= 26.0 and float(feats.min()) >= 0.0
+    # labels/weights consistent with provider definitions
+    labels = np.asarray(labels)
+    weights = np.asarray(weights)
+    assert set(np.unique(labels)) <= {0.0, 1.0}
+    np.testing.assert_allclose(weights[labels == 1], 1.0)
+    np.testing.assert_allclose(weights[labels == 0], 0.8, rtol=1e-6)
+    # sampling weights respected within statistical tolerance (2:1)
+    counts = [int((labels == v).sum()) for v in (1.0, 0.0)]
+    many = np.concatenate(
+        [
+            np.asarray(sample(packed, jax.random.PRNGKey(k))[1])
+            for k in range(20)
+        ]
+    )
+    frac_pos = (many == 1.0).mean()
+    assert 0.56 < frac_pos < 0.77, frac_pos  # expect 2/3
+
+    # windows must be genuine slices of stored clips: check feature values
+    # exist in the packed frame array (scaled); sample w/o SpecAugment
+    feats_na, _, _ = S.sample_batch(packed, jax.random.PRNGKey(3), 4, 30)
+    f0 = np.asarray(feats_na[0])
+    nonzero = f0[(f0 != 0).any(axis=1)]
+    allframes = np.asarray(packed.frames, dtype=np.float32) * 0.0390625
+    # each sampled frame appears in the corpus
+    row = nonzero[len(nonzero) // 2]
+    dists = np.abs(allframes - row[None, :]).sum(axis=1)
+    assert dists.min() < 1e-4
+
+
+def test_device_sampler_short_clip_padding(tmp_path):
+    """Clips shorter than features_length are right-aligned, left-zero-padded."""
+    spec = (np.ones((7, 40)) * 100).astype(np.uint16)
+    root = tmp_path / "p" / "training"
+    root.mkdir(parents=True)
+    RaggedSpectrogramStore.create(str(root / "s_mmap"), [spec])
+    config = {
+        "stride": 1,
+        "window_step_ms": 10,
+        "features": [
+            {
+                "features_dir": str(tmp_path / "p"),
+                "truth": True,
+                "sampling_weight": 1.0,
+                "penalty_weight": 1.0,
+                "truncation_strategy": "truncate_start",
+                "type": "mmap",
+            }
+        ],
+    }
+    fh = FeatureHandler(config)
+    packed = fh.pack_training()
+    feats, _, _ = S.sample_batch(packed, jax.random.PRNGKey(0), 4, 12)
+    feats = np.asarray(feats)
+    np.testing.assert_allclose(feats[:, :5], 0.0)
+    np.testing.assert_allclose(feats[:, 5:], 100 * 0.0390625, rtol=1e-5)
