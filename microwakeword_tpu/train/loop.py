@@ -1,0 +1,400 @@
+"""Training loop: single fused jit step (on-device sampling + fwd/bwd +
+metrics), phase schedules, periodic validation with two-step best-checkpoint
+selection, and msgpack checkpoints.
+
+Mirrors the reference train.py behaviors (schedules padded with the last
+entry, Adam + weighted BCE on probabilities, eval-interval validation,
+best/last/restore artifacts) but with the entire hot path on device: the
+reference assembles each batch in Python and runs an un-jitted Keras step
+(train.py:225-299); here step N+1's sampling, augmentation, forward,
+backward and optimizer update compile into one XLA program.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import flax.serialization
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from microwakeword_tpu.data import sampler as S
+from microwakeword_tpu.train import metrics as M
+
+EPS = 1e-7  # keras BinaryCrossentropy epsilon
+
+
+def pad_schedule(values, n):
+    """Pad a per-phase list with its last entry (reference train.py:190-204)."""
+    values = list(values)
+    while len(values) < n:
+        values.append(values[-1])
+    return values
+
+
+def resolve_schedules(config: dict) -> list[dict]:
+    """Returns one dict of hyperparameters per training phase."""
+    steps = list(config.get("training_steps") or [20000])
+    n = len(steps)
+    keys = {
+        "learning_rates": [0.001],
+        "mix_up_augmentation_prob": [0.0],
+        "freq_mix_augmentation_prob": [0.0],
+        "time_mask_max_size": [5],
+        "time_mask_count": [2],
+        "freq_mask_max_size": [5],
+        "freq_mask_count": [2],
+        "positive_class_weight": [1.0],
+        "negative_class_weight": [1.0],
+    }
+    resolved = {
+        k: pad_schedule(config.get(k) or dflt, n) for k, dflt in keys.items()
+    }
+    phases = []
+    for i in range(n):
+        phases.append(
+            {
+                "steps": steps[i],
+                "learning_rate": float(resolved["learning_rates"][i]),
+                "time_mask_max_size": int(resolved["time_mask_max_size"][i]),
+                "time_mask_count": int(resolved["time_mask_count"][i]),
+                "freq_mask_max_size": int(resolved["freq_mask_max_size"][i]),
+                "freq_mask_count": int(resolved["freq_mask_count"][i]),
+                "positive_class_weight": float(resolved["positive_class_weight"][i]),
+                "negative_class_weight": float(resolved["negative_class_weight"][i]),
+            }
+        )
+    return phases
+
+
+def weighted_bce(probs, labels, weights):
+    """Keras-style weighted BCE on probabilities: mean over batch of
+    weight * bce (reduction sum_over_batch_size)."""
+    p = jnp.clip(probs.reshape(-1), EPS, 1.0 - EPS)
+    y = labels.reshape(-1)
+    bce = -(y * jnp.log(p) + (1.0 - y) * jnp.log1p(-p))
+    return jnp.mean(weights.reshape(-1) * bce)
+
+
+def make_train_step(bundle, packed, batch_size: int, features_length: int):
+    """Builds the fused jitted train step.
+
+    Returned fn: (params, batch_stats, opt_state, rng, phase_static...)
+    -> (params, batch_stats, opt_state, step_metrics)
+    """
+    optimizer = optax.inject_hyperparams(optax.adam)(
+        learning_rate=0.001, eps=1e-7  # keras Adam epsilon
+    )
+
+    def loss_fn(params, batch_stats, feats, labels, weights, rng):
+        probs, updates = bundle.module.apply(
+            {"params": params, "batch_stats": batch_stats},
+            feats,
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": rng},
+        )
+        loss = weighted_bce(probs, labels, weights)
+        return loss, (probs, updates["batch_stats"])
+
+    def train_step(
+        params,
+        batch_stats,
+        opt_state,
+        rng,
+        *,
+        learning_rate,
+        time_mask_max_size,
+        time_mask_count,
+        freq_mask_max_size,
+        freq_mask_count,
+        positive_class_weight,
+        negative_class_weight,
+    ):
+        r_batch, r_drop = jax.random.split(rng)
+        feats, labels, penalties = S.sample_batch(
+            packed,
+            r_batch,
+            batch_size,
+            features_length,
+            time_mask_max_size=time_mask_max_size,
+            time_mask_count=time_mask_count,
+            freq_mask_max_size=freq_mask_max_size,
+            freq_mask_count=freq_mask_count,
+        )
+        class_w = jnp.where(labels > 0.5, positive_class_weight, negative_class_weight)
+        weights = penalties * class_w
+        (loss, (probs, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, batch_stats, feats, labels, weights, r_drop)
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(learning_rate)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        step_metrics = M.binary_metrics(probs, labels)
+        step_metrics["loss"] = loss
+        return params, new_stats, opt_state, step_metrics
+
+    jitted = jax.jit(
+        train_step,
+        static_argnames=(
+            "time_mask_max_size",
+            "time_mask_count",
+            "freq_mask_max_size",
+            "freq_mask_count",
+        ),
+    )
+    return optimizer, jitted
+
+
+def make_eval_fn(bundle, eval_batch: int = 1024):
+    """Chunked jitted inference over a fixed batch size (padded)."""
+    forward = jax.jit(
+        lambda params, batch_stats, x: bundle.module.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=False
+        )
+    )
+
+    def eval_probs(params, batch_stats, x: np.ndarray) -> np.ndarray:
+        n = x.shape[0]
+        outs = []
+        for i in range(0, n, eval_batch):
+            chunk = x[i : i + eval_batch]
+            pad = eval_batch - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
+                )
+            p = np.asarray(forward(params, batch_stats, jnp.asarray(chunk)))
+            outs.append(p[: eval_batch - pad if pad else eval_batch])
+        return np.concatenate(outs).reshape(-1) if outs else np.zeros((0,))
+
+    return eval_probs
+
+
+def _save(path: str, pytree) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(flax.serialization.to_bytes(pytree))
+
+
+def _load(path: str, template):
+    with open(path, "rb") as f:
+        return flax.serialization.from_bytes(template, f.read())
+
+
+def train(bundle, config: dict, feature_handler, restore_checkpoint: bool = False):
+    """Trains a model; returns (variables, history).
+
+    config keys follow the reference YAML schema (SURVEY.md §5 config):
+    training_steps, learning_rates, *_mask_*, positive/negative_class_weight,
+    batch_size, spectrogram_length, eval_step_interval, train_dir,
+    minimization_metric, maximization_metric, target_minimization.
+    """
+    train_dir = config["train_dir"]
+    os.makedirs(train_dir, exist_ok=True)
+    phases = resolve_schedules(config)
+    total_steps = sum(p["steps"] for p in phases)
+    batch_size = int(config.get("batch_size", 128))
+    features_length = int(config["spectrogram_length"])
+    eval_interval = int(config.get("eval_step_interval", 500))
+
+    rng = jax.random.PRNGKey(int(config.get("seed", 0)))
+    variables = bundle.init(rng)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    packed = feature_handler.pack_training()
+    optimizer, train_step = make_train_step(
+        bundle, packed, batch_size, features_length
+    )
+    opt_state = optimizer.init(params)
+    eval_probs = make_eval_fn(bundle)
+
+    restored_from_step = 0
+    ckpt_path = os.path.join(train_dir, "restore", "ckpt.msgpack")
+    if restore_checkpoint and os.path.exists(ckpt_path):
+        restored = _load(
+            ckpt_path,
+            {
+                "params": params,
+                "batch_stats": batch_stats,
+                "opt_state": opt_state,
+                "step": 0,
+            },
+        )
+        params = restored["params"]
+        batch_stats = restored["batch_stats"]
+        opt_state = restored["opt_state"]
+        # Reference-compatible resume (train.py:229-233, SURVEY.md §8.5):
+        # weights+optimizer restore, but the *configured schedule restarts* --
+        # the caller adjusts training_steps/learning_rates when resuming.
+        restored_from_step = int(restored["step"])
+
+    # --- assemble validation data once -------------------------------
+    has_val = feature_handler.get_mode_size("validation") > 0
+    val_x = val_y = None
+    if has_val:
+        val_x, val_y, _ = feature_handler.get_data(
+            "validation",
+            batch_size=batch_size,
+            features_length=features_length,
+            truncation_strategy="truncate_start",
+        )
+    ambient_x = None
+    ambient_hours = 0.0
+    if feature_handler.get_mode_size("validation_ambient") > 0:
+        ambient_x, _, _ = feature_handler.get_data(
+            "validation_ambient",
+            batch_size=batch_size,
+            features_length=features_length,
+            truncation_strategy="split",
+        )
+        ambient_hours = feature_handler.get_mode_duration("validation_ambient") / 3600.0
+
+    # --- logging -----------------------------------------------------
+    writers = {}
+    try:
+        from tensorboardX import SummaryWriter
+
+        writers["train"] = SummaryWriter(os.path.join(train_dir, "logs", "train"))
+        writers["validation"] = SummaryWriter(
+            os.path.join(train_dir, "logs", "validation")
+        )
+    except ImportError:  # pragma: no cover
+        pass
+    history_path = os.path.join(train_dir, "metrics.jsonl")
+    history = []
+
+    best_min = 10000.0
+    best_max = 0.0
+    best_no_faph_cutoff = 1.0
+    minimization_metric = config.get("minimization_metric")
+    maximization_metric = config.get("maximization_metric", "average_viable_recall")
+    target_min = float(config.get("target_minimization", 0.9))
+
+    step_times = []
+    for step in range(1, total_steps + 1):
+        # phase lookup (reference train.py:249-263)
+        s, phase = 0, phases[-1]
+        for p in phases:
+            s += p["steps"]
+            if step <= s:
+                phase = p
+                break
+        rng, step_rng = jax.random.split(rng)
+        t0 = time.perf_counter()
+        params, batch_stats, opt_state, step_metrics = train_step(
+            params,
+            batch_stats,
+            opt_state,
+            step_rng,
+            learning_rate=phase["learning_rate"],
+            time_mask_max_size=phase["time_mask_max_size"],
+            time_mask_count=phase["time_mask_count"],
+            freq_mask_max_size=phase["freq_mask_max_size"],
+            freq_mask_count=phase["freq_mask_count"],
+            positive_class_weight=phase["positive_class_weight"],
+            negative_class_weight=phase["negative_class_weight"],
+        )
+        step_times.append(time.perf_counter() - t0)
+
+        if step % eval_interval == 0 or step == total_steps:
+            sm = {k: float(v) for k, v in step_metrics.items()}
+            if "train" in writers:
+                for k in ("loss", "accuracy", "recall", "precision", "auc"):
+                    writers["train"].add_scalar(k, sm[k], step)
+            _save(
+                os.path.join(train_dir, "last_weights.msgpack"),
+                {"params": params, "batch_stats": batch_stats},
+            )
+
+            val_metrics = {}
+            if has_val:
+                vp = eval_probs(params, batch_stats, val_x)
+                ap = (
+                    eval_probs(params, batch_stats, ambient_x)
+                    if ambient_x is not None and len(ambient_x)
+                    else None
+                )
+                val_metrics = M.validation_metrics(vp, val_y, ap, ambient_hours)
+                if "validation" in writers:
+                    for k, v in val_metrics.items():
+                        writers["validation"].add_scalar(k, v, step)
+
+                current_min = (
+                    float(val_metrics[minimization_metric])
+                    if minimization_metric
+                    else 0.0
+                )
+                current_max = float(val_metrics[maximization_metric])
+                # per-eval breadcrumb (reference train.py:391-399)
+                _save(
+                    os.path.join(
+                        train_dir,
+                        "train",
+                        f"{int(best_min * 10000)}_weights_{step}.msgpack",
+                    ),
+                    {"params": params, "batch_stats": batch_stats},
+                )
+                if M.is_new_best(current_min, current_max, best_min, best_max, target_min):
+                    best_min, best_max = current_min, current_max
+                    best_no_faph_cutoff = val_metrics["cutoff_for_no_faph"]
+                    _save(
+                        os.path.join(train_dir, "best_weights.msgpack"),
+                        {"params": params, "batch_stats": batch_stats},
+                    )
+                    _save(
+                        ckpt_path,
+                        {
+                            "params": params,
+                            "batch_stats": batch_stats,
+                            "opt_state": opt_state,
+                            "step": step,
+                        },
+                    )
+
+            record = {
+                "step": step + restored_from_step,
+                "train": sm,
+                "validation": val_metrics,
+                "best_minimization_quantity": best_min,
+                "best_maximization_quantity": best_max,
+                "best_no_faph_cutoff": best_no_faph_cutoff,
+                "steps_per_sec": 1.0 / float(np.mean(step_times[-eval_interval:])),
+            }
+            history.append(record)
+            with open(history_path, "a") as f:
+                f.write(json.dumps(record) + "\n")
+
+    _save(
+        ckpt_path,
+        {
+            "params": params,
+            "batch_stats": batch_stats,
+            "opt_state": opt_state,
+            "step": total_steps,
+        },
+    )
+    _save(
+        os.path.join(train_dir, "last_weights.msgpack"),
+        {"params": params, "batch_stats": batch_stats},
+    )
+    if not os.path.exists(os.path.join(train_dir, "best_weights.msgpack")):
+        _save(
+            os.path.join(train_dir, "best_weights.msgpack"),
+            {"params": params, "batch_stats": batch_stats},
+        )
+    for w in writers.values():
+        w.close()
+    return {"params": params, "batch_stats": batch_stats}, history
+
+
+def load_weights(bundle, path: str):
+    """Loads weights saved by train() into a fresh variables template."""
+    variables = bundle.init(jax.random.PRNGKey(0))
+    return _load(
+        path, {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+    )
