@@ -43,6 +43,13 @@ class MixedNetConfig:
         for name in ("repeat_in_block", "mixconv_kernel_sizes", "residual_connection"):
             if len(getattr(self, name)) != n:
                 raise ValueError(f"{name} must have {n} entries")
+        t = tail_length(self)
+        if t < 1:
+            raise ValueError(
+                f"spectrogram_length {self.spectrogram_length} too short for "
+                f"this architecture (tail length {t}); needs at least "
+                f"{self.spectrogram_length - t + 1} frames"
+            )
 
 
 def spectrogram_slices_dropped(cfg: MixedNetConfig) -> int:

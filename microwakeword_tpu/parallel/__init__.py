@@ -1,0 +1,7 @@
+"""Device-mesh parallelism: data-parallel training and pod-scale sweeps."""
+
+from microwakeword_tpu.parallel.mesh import create_mesh  # noqa: F401
+from microwakeword_tpu.parallel.train_step import (  # noqa: F401
+    make_sharded_train_step,
+    replicate,
+)

@@ -1,0 +1,128 @@
+"""Sharded training tests on the 8-virtual-device CPU mesh (SURVEY.md §4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from microwakeword_tpu.data import sampler as S
+from microwakeword_tpu.models import build_model
+from microwakeword_tpu.models.mixednet import MixedNetConfig
+from microwakeword_tpu.parallel import create_mesh, make_sharded_train_step, replicate
+
+
+def synthetic_packed(n_clips=24, length=40):
+    rng = np.random.default_rng(0)
+    lengths = rng.integers(30, 60, n_clips)
+    frames = rng.uniform(0, 660, (int(lengths.sum()), 40)).astype(np.uint16)
+    offsets = np.concatenate([[0], np.cumsum(lengths)])[:-1]
+    half = n_clips // 2
+    return S.PackedTrainingData(
+        frames=jnp.asarray(frames),
+        clip_offset=jnp.asarray(offsets.astype(np.int32)),
+        clip_length=jnp.asarray(lengths.astype(np.int32)),
+        provider_logits=jnp.asarray([0.0, 0.0], jnp.float32),
+        provider_clip_start=jnp.asarray([0, half], jnp.int32),
+        provider_clip_count=jnp.asarray([half, n_clips - half], jnp.int32),
+        provider_label=jnp.asarray([1.0, 0.0], jnp.float32),
+        provider_penalty=jnp.asarray([1.0, 0.8], jnp.float32),
+        provider_strategy=jnp.asarray([1, 0], jnp.int32),
+        provider_cutoffs=jnp.zeros((2, S.MAX_CUTOFFS), jnp.int32),
+        provider_n_cutoffs=jnp.asarray([1, 1], jnp.int32),
+    )
+
+
+def test_mesh_creation():
+    assert len(jax.devices()) == 8, "conftest should provide 8 virtual devices"
+    mesh = create_mesh()
+    assert mesh.shape["data"] == 8
+
+
+def test_sharded_train_step_runs_and_matches_semantics():
+    mesh = create_mesh()
+    cfg = MixedNetConfig(
+        pointwise_filters=(8,),
+        repeat_in_block=(1,),
+        mixconv_kernel_sizes=((5,),),
+        residual_connection=(False,),
+        first_conv_filters=8,
+        first_conv_kernel_size=3,
+        spectrogram_length=20,
+    )
+    bundle = build_model("mixednet", cfg)
+    variables = bundle.init(jax.random.PRNGKey(0))
+    packed = synthetic_packed()
+    optimizer, step = make_sharded_train_step(bundle, packed, 32, 20, mesh)
+    params = replicate(variables["params"], mesh)
+    batch_stats = replicate(variables["batch_stats"], mesh)
+    opt_state = replicate(optimizer.init(variables["params"]), mesh)
+
+    losses = []
+    for i in range(5):
+        params, batch_stats, opt_state, metrics = step(
+            params,
+            batch_stats,
+            opt_state,
+            jax.random.PRNGKey(i),
+            0.01,
+            time_mask_max_size=0,
+            time_mask_count=0,
+            freq_mask_max_size=0,
+            freq_mask_count=0,
+            positive_class_weight=1.0,
+            negative_class_weight=1.0,
+        )
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    # params updated
+    delta = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), params, variables["params"]
+    )
+    assert max(jax.tree_util.tree_leaves(delta)) > 0
+
+    # batch not divisible -> clear error
+    with pytest.raises(ValueError):
+        make_sharded_train_step(bundle, packed, 12, 20, mesh)
+
+
+def test_sharded_matches_single_device():
+    """The DP step must compute the same update as the unsharded step
+    (same rng => same batch => same grads, modulo reduction order)."""
+    from microwakeword_tpu.train.loop import make_train_step
+
+    mesh = create_mesh()
+    cfg = MixedNetConfig(
+        pointwise_filters=(8,),
+        repeat_in_block=(1,),
+        mixconv_kernel_sizes=((3,),),
+        residual_connection=(False,),
+        first_conv_filters=4,
+        first_conv_kernel_size=3,
+        spectrogram_length=16,
+    )
+    bundle = build_model("mixednet", cfg)
+    variables = bundle.init(jax.random.PRNGKey(0))
+    packed = synthetic_packed()
+
+    _, step1 = make_train_step(bundle, packed, 16, 16)
+    opt1, _ = make_train_step(bundle, packed, 16, 16)
+    o1 = opt1.init(variables["params"])
+    p1, bs1, o1, m1 = step1(
+        variables["params"], variables["batch_stats"], o1, jax.random.PRNGKey(7),
+        learning_rate=0.01, time_mask_max_size=0, time_mask_count=0,
+        freq_mask_max_size=0, freq_mask_count=0,
+        positive_class_weight=1.0, negative_class_weight=1.0,
+    )
+
+    optN, stepN = make_sharded_train_step(bundle, packed, 16, 16, mesh)
+    oN = replicate(optN.init(variables["params"]), mesh)
+    pN, bsN, oN, mN = stepN(
+        replicate(variables["params"], mesh),
+        replicate(variables["batch_stats"], mesh),
+        oN, jax.random.PRNGKey(7), 0.01,
+        time_mask_max_size=0, time_mask_count=0,
+        freq_mask_max_size=0, freq_mask_count=0,
+        positive_class_weight=1.0, negative_class_weight=1.0,
+    )
+    np.testing.assert_allclose(float(m1["loss"]), float(mN["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(pN)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
