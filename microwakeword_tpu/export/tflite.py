@@ -1,0 +1,353 @@
+"""Streaming TFLite export (the reference's deployment artifact).
+
+Replaces the reference's Keras graph-surgery -> SavedModel -> TFLite chain
+(utils.py:148-348) with a direct builder: the trained JAX params are laid
+into a hand-built TF streaming graph whose ring buffers are tf.Variables,
+using only TFLM-supported ops (CONV_2D, DEPTHWISE_CONV_2D, FULLY_CONNECTED,
+CONCAT, STRIDED_SLICE, MUL/ADD, LOGISTIC, VAR_HANDLE/READ/ASSIGN) -- the
+same op set the reference's exports use for ESPHome/ESP32 deployment.
+
+BatchNorm layers are folded into the preceding 1x1 convs at export time
+(exact algebra; verified by the parity tests in tests/test_export.py).
+
+Quantization follows the reference exactly (utils.py:289-348): full-int8
+(int8 inputs / uint8 outputs), quantized ring-buffer variables, and a
+representative dataset of training spectrograms chopped into (stride, 40)
+steps with pixels pinned to the frontend range 0.0 / 26.0.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from microwakeword_tpu.models.mixednet import MixedNetConfig, tail_length
+
+
+def _bn_fold(bn_params, bn_stats, eps=1e-3):
+    """Returns (scale, offset) so that BN(x) = x * scale + offset."""
+    # our BatchNorm module wraps flax nn.BatchNorm -> one nesting level
+    bn_params = bn_params["BatchNorm_0"]
+    bn_stats = bn_stats["BatchNorm_0"]
+    gamma = np.asarray(bn_params["scale"], np.float32)
+    beta = np.asarray(bn_params["bias"], np.float32)
+    mean = np.asarray(bn_stats["mean"], np.float32)
+    var = np.asarray(bn_stats["var"], np.float32)
+    s = gamma / np.sqrt(var + eps)
+    return s, beta - s * mean
+
+
+def _mixconv_mask(kernel_sizes, channels):
+    from microwakeword_tpu.models.layers import MixConv
+
+    kmax = max(kernel_sizes)
+    splits = MixConv.split_channels(channels, len(kernel_sizes))
+    mask = np.zeros((kmax, channels), np.float32)
+    start = 0
+    for width, k in zip(splits, kernel_sizes):
+        mask[kmax - k :, start : start + width] = 1.0
+        start += width
+    return mask
+
+
+def build_tf_streaming_mixednet(cfg: MixedNetConfig, params, batch_stats,
+                                streaming: bool = True):
+    """Builds a tf.Module running the MixedNet in streaming mode (input
+    [1, stride, 40], ring buffers as internal tf.Variables) or non-streaming
+    mode (input [1, spectrogram_length, 40])."""
+    import tensorflow as tf
+
+    p = params
+    bs = batch_stats
+    dtype = tf.float32
+
+    mod = tf.Module()
+    mod.ring_vars = []
+    conv_idx, mix_idx, pw_idx, bn_idx = 0, 0, 0, 0
+
+    # ---- gather per-layer constants in model order -------------------
+    layers = []
+    in_ch = 40
+    if cfg.first_conv_filters > 0:
+        kernel = np.asarray(p[f"StreamConv_{conv_idx}"]["kernel"], np.float32)
+        conv_idx += 1
+        layers.append(("first_conv", kernel))
+        in_ch = cfg.first_conv_filters
+
+    for filters, repeat, ksizes, res in zip(
+        cfg.pointwise_filters,
+        cfg.repeat_in_block,
+        cfg.mixconv_kernel_sizes,
+        cfg.residual_connection,
+    ):
+        block = {"repeats": [], "residual": None}
+        if res:
+            w = np.asarray(p[f"PointwiseConv_{pw_idx}"]["kernel"], np.float32)
+            pw_idx += 1
+            s, b = _bn_fold(p[f"BatchNorm_{bn_idx}"], bs[f"BatchNorm_{bn_idx}"])
+            bn_idx += 1
+            block["residual"] = (w * s[None, :], b)
+        for _ in range(repeat):
+            entry = {}
+            if max(ksizes) > 1:
+                dw = np.asarray(p[f"MixConv_{mix_idx}"]["kernel"], np.float32)
+                mix_idx += 1
+                dw = dw * _mixconv_mask(ksizes, in_ch)[:, None, :]
+                entry["mixconv"] = dw  # [kmax, 1, C]
+            w = np.asarray(p[f"PointwiseConv_{pw_idx}"]["kernel"], np.float32)
+            pw_idx += 1
+            s, b = _bn_fold(p[f"BatchNorm_{bn_idx}"], bs[f"BatchNorm_{bn_idx}"])
+            bn_idx += 1
+            entry["pointwise"] = (w * s[None, :], b)
+            block["repeats"].append(entry)
+            in_ch = filters
+        layers.append(("block", block))
+
+    dense_kernel = np.asarray(p["Dense_0"]["kernel"], np.float32)
+    dense_bias = np.asarray(p["Dense_0"]["bias"], np.float32)
+    t_tail = tail_length(cfg)
+
+    # ---- pre-create ring-buffer variables (static sizes) --------------
+    from microwakeword_tpu.models.layers import conv_ring_size
+
+    ring_specs = []  # (frames, channels) in consumption order
+    if streaming:
+        ch = 40
+        for kind, payload in layers:
+            if kind == "first_conv":
+                k = payload.shape[0]
+                ring = conv_ring_size(k, cfg.stride)
+                if ring > 0:
+                    ring_specs.append((ring, payload.shape[1]))
+                ch = payload.shape[-1]
+            else:
+                for entry in payload["repeats"]:
+                    if "mixconv" in entry:
+                        kmax = entry["mixconv"].shape[0]
+                        if kmax > 1:
+                            ring_specs.append((kmax - 1, entry["mixconv"].shape[2]))
+                    ch = entry["pointwise"][0].shape[-1]
+        if t_tail > 1:
+            tail_in = 1  # streaming blocks emit one frame per step
+            ring_specs.append((t_tail - tail_in, ch))
+        for i, (frames, channels) in enumerate(ring_specs):
+            mod.ring_vars.append(
+                tf.Variable(
+                    tf.zeros([1, frames, 1, channels], dtype),
+                    trainable=False,
+                    name=f"ring_{i}",
+                )
+            )
+
+    def forward(x):
+        # x: [1, T, 1, 40]
+        net = x
+        ring_iter = iter(mod.ring_vars)
+        for kind, payload in layers:
+            if kind == "first_conv":
+                kernel = payload  # [k, in, out]
+                k = kernel.shape[0]
+                ring = conv_ring_size(k, cfg.stride)
+                if streaming and ring > 0:
+                    v = next(ring_iter)
+                    mem = tf.concat([v, net], axis=1)
+                    assign = v.assign(mem[:, -ring:])
+                    with tf.control_dependencies([assign]):
+                        net = tf.identity(mem)
+                net = tf.nn.conv2d(
+                    net,
+                    kernel[:, None, :, :],
+                    strides=[1, cfg.stride, 1, 1],
+                    padding="VALID",
+                )
+                net = tf.nn.relu(net)
+            else:
+                block = payload
+                if block["residual"] is not None:
+                    w, b = block["residual"]
+                    residual = tf.nn.conv2d(
+                        net, w[None, None, :, :], strides=1, padding="VALID"
+                    ) + b
+                for entry in block["repeats"]:
+                    if "mixconv" in entry:
+                        dw = entry["mixconv"]  # [kmax, 1, C]
+                        kmax = dw.shape[0]
+                        ch = dw.shape[2]
+                        if streaming and kmax > 1:
+                            v = next(ring_iter)
+                            mem = tf.concat([v, net], axis=1)
+                            assign = v.assign(mem[:, -(kmax - 1):])
+                            with tf.control_dependencies([assign]):
+                                net = tf.identity(mem)
+                        net = tf.nn.depthwise_conv2d(
+                            net,
+                            dw[:, :, :, None],  # [kmax, 1, C, 1]
+                            strides=[1, 1, 1, 1],
+                            padding="VALID",
+                        )
+                    w, b = entry["pointwise"]
+                    net = tf.nn.conv2d(
+                        net, w[None, None, :, :], strides=1, padding="VALID"
+                    ) + b
+                    if block["residual"] is not None:
+                        drop = residual.shape[1] - net.shape[1]
+                        residual = residual[:, drop:] if drop > 0 else residual
+                        net = net + residual
+                    net = tf.nn.relu(net)
+
+        if t_tail > 1:
+            if streaming:
+                ring = t_tail - net.shape[1]
+                v = next(ring_iter)
+                mem = tf.concat([v, net], axis=1)
+                assign = v.assign(mem[:, -ring:])
+                with tf.control_dependencies([assign]):
+                    net = tf.identity(mem)
+            if cfg.pooled:
+                if cfg.max_pool:
+                    net = tf.nn.max_pool2d(net, [t_tail, 1], [t_tail, 1], "VALID")
+                else:
+                    net = tf.nn.avg_pool2d(net, [t_tail, 1], [t_tail, 1], "VALID")
+        net = tf.reshape(net, [1, -1])
+        logits = tf.matmul(net, dense_kernel) + dense_bias
+        return tf.sigmoid(logits)
+
+    import tensorflow as tf
+
+    t_in = cfg.stride if streaming else cfg.spectrogram_length
+    mod.forward = tf.function(
+        lambda x: forward(tf.reshape(x, [1, t_in, 1, 40])),
+        input_signature=[tf.TensorSpec([1, t_in, 40], dtype, name="input")],
+    )
+    # trace once to create variables
+    mod.forward.get_concrete_function()
+    return mod
+
+
+def representative_dataset(feature_handler, config, n_specs: int = 500):
+    """Reference utils.py:303-325: training spectrograms chopped into
+    (stride, 40) steps, with the frontend range pinned to 0.0 / 26.0."""
+    stride = config.get("stride", 1)
+    length = config["spectrogram_length"]
+    x, _, _ = feature_handler.get_data(
+        "training", batch_size=n_specs, features_length=length,
+        truncation_strategy="default",
+    )
+    def gen():
+        for spec in x:
+            for i in range(0, (spec.shape[0] // stride) * stride, stride):
+                chunk = np.array(spec[i : i + stride], np.float32)
+                chunk[0, 0] = 0.0
+                chunk[-1, -1] = 26.0
+                yield [chunk[None, ...]]
+    return gen
+
+
+def convert_to_tflite(
+    module,
+    output_path: str,
+    quantize: bool = False,
+    representative_gen=None,
+):
+    """Converts the tf.Module (with ring-buffer variables) to TFLite."""
+    import tensorflow as tf
+
+    cf = module.forward.get_concrete_function()
+    converter = tf.lite.TFLiteConverter.from_concrete_functions([cf], module)
+    converter._experimental_variable_quantization = quantize
+    if quantize:
+        converter.optimizations = [tf.lite.Optimize.DEFAULT]
+        converter.target_spec.supported_ops = [tf.lite.OpsSet.TFLITE_BUILTINS_INT8]
+        converter.inference_input_type = tf.int8
+        converter.inference_output_type = tf.uint8
+        if representative_gen is not None:
+            converter.representative_dataset = representative_gen
+    blob = converter.convert()
+    os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
+    with open(output_path, "wb") as f:
+        f.write(blob)
+    return output_path
+
+
+class TFLiteStreamingModel:
+    """Runs an exported streaming TFLite model (reference inference.py:34-125
+    equivalent): feeds (stride, 40) slices, returns per-step probabilities."""
+
+    def __init__(self, path: str, stride: int = 1):
+        import tensorflow as tf
+
+        self.interp = tf.lite.Interpreter(model_path=path)
+        self.interp.allocate_tensors()
+        self.input_details = self.interp.get_input_details()
+        self.output_details = self.interp.get_output_details()
+        self.stride = stride
+        for d in self.input_details:
+            self.interp.set_tensor(d["index"], np.zeros(d["shape"], d["dtype"]))
+
+    def reset(self):
+        self.interp.reset_all_variables()
+
+    def _quantize_input(self, x):
+        d = self.input_details[0]
+        if d["dtype"] in (np.int8, np.uint8):
+            scale, zp = d["quantization"]
+            return np.clip(np.round(x / scale + zp), -128, 127).astype(d["dtype"])
+        return x.astype(np.float32)
+
+    def _dequantize_output(self, y):
+        d = self.output_details[0]
+        if d["dtype"] in (np.int8, np.uint8):
+            _, zp = d["quantization"]
+            # reference hardcodes output scale 1/255 (inference.py:162-170)
+            return (y.astype(np.float32) - zp) / 255.0
+        return y
+
+    def predict_spectrogram(self, spectrogram: np.ndarray) -> np.ndarray:
+        """[T, 40] float features -> [T // stride] probabilities."""
+        probs = []
+        t = (spectrogram.shape[0] // self.stride) * self.stride
+        d_in = self.input_details[0]
+        for i in range(0, t, self.stride):
+            chunk = np.asarray(
+                spectrogram[i : i + self.stride], np.float32
+            )[None, ...]
+            self.interp.set_tensor(d_in["index"], self._quantize_input(chunk))
+            self.interp.invoke()
+            out = self.interp.get_tensor(self.output_details[0]["index"])
+            probs.append(float(self._dequantize_output(out).reshape(-1)[0]))
+        return np.asarray(probs, np.float32)
+
+
+def export_and_evaluate_tflite(
+    bundle, variables, feature_handler, config, train_dir: str, quantize: bool
+):
+    """CLI hook: export streaming TFLite (optionally int8) and run the
+    streamed ROC through the TFLite interpreter (reference evaluate_model
+    flow, model_train_eval.py:131-274)."""
+    from microwakeword_tpu.evaluate import streaming_model_roc
+
+    name = "stream_state_internal_quant" if quantize else "stream_state_internal"
+    folder = os.path.join(train_dir, f"tflite_{name}")
+    module = build_tf_streaming_mixednet(
+        bundle.config, variables["params"], variables["batch_stats"]
+    )
+    rep = representative_dataset(feature_handler, config) if quantize else None
+    path = convert_to_tflite(
+        module, os.path.join(folder, f"{name}.tflite"), quantize, rep
+    )
+
+    runner = TFLiteStreamingModel(path, stride=config.get("stride", 1))
+
+    def stream_fn(_vars, x):
+        runner.reset()
+        return runner.predict_spectrogram(np.asarray(x)[0])
+
+    if feature_handler.get_mode_size("testing_ambient"):
+        result = streaming_model_roc(
+            bundle, variables, feature_handler, config,
+            folder=folder, accuracy_name="tflite_streaming_roc.txt",
+            stream_fn=stream_fn,
+        )
+        print(f"TFLite ({name}) streaming ROC AUC: {result['auc']:.5f}")
+    return path

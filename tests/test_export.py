@@ -1,0 +1,123 @@
+"""Export tests: the TF streaming graph and its TFLite conversions must
+match the JAX streaming model (BASELINE config[2]: streaming allclose).
+
+TF is heavyweight; these tests are skipped if it's unavailable."""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+from microwakeword_tpu.export import tflite as EX  # noqa: E402
+from microwakeword_tpu.models import build_model  # noqa: E402
+from microwakeword_tpu.models.mixednet import MixedNetConfig  # noqa: E402
+
+
+def make_bundle(**kw):
+    base = dict(
+        pointwise_filters=(16, 16),
+        repeat_in_block=(1, 1),
+        mixconv_kernel_sizes=((5,), (3, 7)),
+        residual_connection=(False, True),
+        first_conv_filters=8,
+        first_conv_kernel_size=5,
+        stride=3,
+        spectrogram_length=47,  # (47-5)//3+1=15; tail=15-(4+6)=5
+    )
+    base.update(kw)
+    cfg = MixedNetConfig(**base)
+    bundle = build_model("mixednet", cfg)
+    variables = bundle.init(jax.random.PRNGKey(0))
+    # give batch_stats non-trivial values so BN folding is actually tested
+    x = jax.random.uniform(jax.random.PRNGKey(1), (16, cfg.spectrogram_length, 40)) * 20
+    _, upd = bundle.forward_train(variables, x)
+    variables = dict(variables, batch_stats=upd["batch_stats"])
+    return cfg, bundle, variables
+
+
+@pytest.fixture(scope="module")
+def exported():
+    cfg, bundle, variables = make_bundle()
+    return cfg, bundle, variables
+
+
+def test_tf_streaming_graph_matches_jax(exported):
+    cfg, bundle, variables = exported
+    module = EX.build_tf_streaming_mixednet(
+        cfg, variables["params"], variables["batch_stats"]
+    )
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 26, (1, cfg.spectrogram_length * 3, 40)).astype(np.float32)
+    jax_probs = np.asarray(bundle.stream_scan(variables, x)).reshape(-1)
+    tf_probs = []
+    for i in range(0, x.shape[1], cfg.stride):
+        out = module.forward(tf.convert_to_tensor(x[:, i : i + cfg.stride]))
+        tf_probs.append(float(np.asarray(out).reshape(-1)[0]))
+    np.testing.assert_allclose(tf_probs, jax_probs, atol=2e-5)
+
+
+def test_tflite_float_matches_jax(exported, tmp_path):
+    cfg, bundle, variables = exported
+    module = EX.build_tf_streaming_mixednet(
+        cfg, variables["params"], variables["batch_stats"]
+    )
+    path = EX.convert_to_tflite(module, str(tmp_path / "stream.tflite"))
+    runner = EX.TFLiteStreamingModel(path, stride=cfg.stride)
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0, 26, (cfg.spectrogram_length * 3, 40)).astype(np.float32)
+    lite = runner.predict_spectrogram(x)
+    jax_probs = np.asarray(bundle.stream_scan(variables, x[None])).reshape(-1)
+    np.testing.assert_allclose(lite, jax_probs, atol=1e-4)
+
+
+def test_tflite_int8_close_to_float(exported, tmp_path):
+    cfg, bundle, variables = exported
+    module = EX.build_tf_streaming_mixednet(
+        cfg, variables["params"], variables["batch_stats"]
+    )
+    rng = np.random.default_rng(2)
+
+    def rep_gen():
+        for _ in range(300):
+            chunk = rng.uniform(0, 26, (1, cfg.stride, 40)).astype(np.float32)
+            chunk[0, 0, 0] = 0.0
+            chunk[0, -1, -1] = 26.0
+            yield [chunk]
+
+    path = EX.convert_to_tflite(
+        module, str(tmp_path / "stream_q.tflite"), quantize=True,
+        representative_gen=rep_gen,
+    )
+    runner = EX.TFLiteStreamingModel(path, stride=cfg.stride)
+    assert runner.input_details[0]["dtype"] == np.int8
+    assert runner.output_details[0]["dtype"] == np.uint8
+    x = rng.uniform(0, 26, (cfg.spectrogram_length * 4, 40)).astype(np.float32)
+    lite = runner.predict_spectrogram(x)
+    jax_probs = np.asarray(bundle.stream_scan(variables, x[None])).reshape(-1)
+    # int8: allow coarse agreement; after warmup the probabilities must
+    # track within a few quantization steps.
+    warm = len(lite) // 2
+    err = np.abs(lite[warm:] - jax_probs[warm:])
+    assert err.max() < 0.08, err.max()
+
+
+def test_tflite_ops_are_tflm_compatible(exported, tmp_path):
+    """The exported model must only use ops available in TFLite-Micro
+    (ESP32 deployment, reference README.md:31)."""
+    cfg, bundle, variables = exported
+    module = EX.build_tf_streaming_mixednet(
+        cfg, variables["params"], variables["batch_stats"]
+    )
+    path = EX.convert_to_tflite(module, str(tmp_path / "s.tflite"))
+    interp = tf.lite.Interpreter(model_path=path)
+    ops = {d["op_name"] for d in interp._get_ops_details()}
+    allowed = {
+        "CONV_2D", "DEPTHWISE_CONV_2D", "FULLY_CONNECTED", "CONCATENATION",
+        "STRIDED_SLICE", "SLICE", "RESHAPE", "ADD", "MUL", "SUB",
+        "LOGISTIC", "RELU", "AVERAGE_POOL_2D", "MAX_POOL_2D",
+        "VAR_HANDLE", "READ_VARIABLE", "ASSIGN_VARIABLE", "CALL_ONCE",
+        "PAD", "TRANSPOSE", "QUANTIZE", "DEQUANTIZE",
+    }
+    assert ops <= allowed, ops - allowed
