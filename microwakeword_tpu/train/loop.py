@@ -80,11 +80,24 @@ def weighted_bce(probs, labels, weights):
     return jnp.mean(weights.reshape(-1) * bce)
 
 
-def make_train_step(bundle, packed, batch_size: int, features_length: int):
+def make_train_step(
+    bundle,
+    packed,
+    batch_size: int,
+    features_length: int,
+    steps_per_call: int = 1,
+    donate: bool = False,
+):
     """Builds the fused jitted train step.
 
     Returned fn: (params, batch_stats, opt_state, rng, phase_static...)
     -> (params, batch_stats, opt_state, step_metrics)
+
+    steps_per_call > 1 chains that many optimizer steps inside one XLA
+    program via lax.scan (one host->device dispatch per chunk -- per-step
+    dispatch latency was a measurable cost on the TPU path); metrics are the
+    last chunk step's.  donate=True donates params/batch_stats/opt_state
+    buffers to avoid copies (caller must rebind).
     """
     optimizer = optax.inject_hyperparams(optax.adam)(
         learning_rate=0.001, eps=1e-7  # keras Adam epsilon
@@ -138,14 +151,37 @@ def make_train_step(bundle, packed, batch_size: int, features_length: int):
         step_metrics["loss"] = loss
         return params, new_stats, opt_state, step_metrics
 
+    if steps_per_call > 1:
+
+        def chained(params, batch_stats, opt_state, rng, **phase):
+
+            def body(carry, step_rng):
+                params, batch_stats, opt_state = carry
+                params, batch_stats, opt_state, m = train_step(
+                    params, batch_stats, opt_state, step_rng, **phase
+                )
+                return (params, batch_stats, opt_state), m
+
+            rngs = jax.random.split(rng, steps_per_call)
+            (params, batch_stats, opt_state), ms = jax.lax.scan(
+                body, (params, batch_stats, opt_state), rngs
+            )
+            last = jax.tree.map(lambda x: x[-1], ms)
+            return params, batch_stats, opt_state, last
+
+        fn = chained
+    else:
+        fn = train_step
+
     jitted = jax.jit(
-        train_step,
+        fn,
         static_argnames=(
             "time_mask_max_size",
             "time_mask_count",
             "freq_mask_max_size",
             "freq_mask_count",
         ),
+        donate_argnums=(0, 1, 2) if donate else (),
     )
     return optimizer, jitted
 
@@ -210,6 +246,12 @@ def train(bundle, config: dict, feature_handler, restore_checkpoint: bool = Fals
     optimizer, train_step = make_train_step(
         bundle, packed, batch_size, features_length
     )
+    steps_per_call = int(config.get("steps_per_call", 1))
+    chunk_step = None
+    if steps_per_call > 1:
+        _, chunk_step = make_train_step(
+            bundle, packed, batch_size, features_length, steps_per_call=steps_per_call
+        )
     opt_state = optimizer.init(params)
     eval_probs = make_eval_fn(bundle)
 
@@ -275,18 +317,25 @@ def train(bundle, config: dict, feature_handler, restore_checkpoint: bool = Fals
     maximization_metric = config.get("maximization_metric", "average_viable_recall")
     target_min = float(config.get("target_minimization", 0.9))
 
-    step_times = []
-    for step in range(1, total_steps + 1):
-        # phase lookup (reference train.py:249-263)
-        s, phase = 0, phases[-1]
+    step_times = []  # (n_steps, seconds) per device call
+    step = 0
+    while step < total_steps:
+        # phase lookup (reference train.py:249-263); `step+1` is the step
+        # about to execute
+        s, phase, phase_end = 0, phases[-1], total_steps
         for p in phases:
             s += p["steps"]
-            if step <= s:
-                phase = p
+            if step + 1 <= s:
+                phase, phase_end = p, s
                 break
+        # chain steps only within one phase and up to the next eval boundary
+        next_eval = step + eval_interval - (step % eval_interval)
+        room = min(phase_end, next_eval, total_steps) - step
         rng, step_rng = jax.random.split(rng)
         t0 = time.perf_counter()
-        params, batch_stats, opt_state, step_metrics = train_step(
+        fn = chunk_step if (chunk_step is not None and room >= steps_per_call) else train_step
+        n = steps_per_call if fn is chunk_step else 1
+        params, batch_stats, opt_state, step_metrics = fn(
             params,
             batch_stats,
             opt_state,
@@ -299,7 +348,8 @@ def train(bundle, config: dict, feature_handler, restore_checkpoint: bool = Fals
             positive_class_weight=phase["positive_class_weight"],
             negative_class_weight=phase["negative_class_weight"],
         )
-        step_times.append(time.perf_counter() - t0)
+        step_times.append((n, time.perf_counter() - t0))
+        step += n
 
         if step % eval_interval == 0 or step == total_steps:
             sm = {k: float(v) for k, v in step_metrics.items()}
@@ -363,7 +413,10 @@ def train(bundle, config: dict, feature_handler, restore_checkpoint: bool = Fals
                 "best_minimization_quantity": best_min,
                 "best_maximization_quantity": best_max,
                 "best_no_faph_cutoff": best_no_faph_cutoff,
-                "steps_per_sec": 1.0 / float(np.mean(step_times[-eval_interval:])),
+                "steps_per_sec": float(
+                    sum(n for n, _ in step_times[-eval_interval:])
+                    / max(sum(t for _, t in step_times[-eval_interval:]), 1e-9)
+                ),
             }
             history.append(record)
             with open(history_path, "a") as f:

@@ -194,3 +194,39 @@ def test_train_end_to_end(tmp_path):
     config2 = dict(config, training_steps=[5])
     variables2, h2 = T.train(bundle, config2, fh, restore_checkpoint=True)
     assert h2[-1]["step"] >= 60  # restored_from_step + local step
+
+
+@pytest.mark.slow
+def test_train_steps_per_call_chaining(tmp_path):
+    """steps_per_call>1 chains optimizer steps inside one XLA call; the run
+    must hit the same step count, eval cadence, and learn the task."""
+    config = _synthetic_dataset(tmp_path)
+    config.update(
+        {
+            "train_dir": str(tmp_path / "run_chain"),
+            "batch_size": 32,
+            "spectrogram_length": 25,
+            "training_steps": [60],
+            "learning_rates": [0.01],
+            "eval_step_interval": 30,
+            "steps_per_call": 8,  # does not divide 30 -> exercises fallback
+            "minimization_metric": "ambient_false_positives_per_hour",
+            "maximization_metric": "average_viable_recall",
+            "target_minimization": 0.5,
+        }
+    )
+    cfg = MixedNetConfig(
+        pointwise_filters=(12, 12),
+        repeat_in_block=(1, 1),
+        mixconv_kernel_sizes=((3,), (5,)),
+        residual_connection=(False, False),
+        first_conv_filters=8,
+        first_conv_kernel_size=3,
+        spectrogram_length=25,
+    )
+    bundle = build_model("mixednet", cfg)
+    fh = FeatureHandler(config)
+    variables, history = T.train(bundle, config, fh)
+    assert len(history) == 2  # evals at steps 30 and 60 exactly
+    assert history[0]["step"] == 30 and history[1]["step"] == 60
+    assert history[-1]["train"]["accuracy"] > 0.85
