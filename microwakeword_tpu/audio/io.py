@@ -32,8 +32,25 @@ def wav_duration_seconds(path: str, header_correction: int | None = None,
 
 
 def load_audio(path: str, target_rate: int = SAMPLE_RATE) -> np.ndarray:
-    """Loads any supported audio file as 16 kHz mono float32 in [-1, 1]."""
+    """Loads any supported audio file as 16 kHz mono float32 in [-1, 1].
+
+    WAV files use the native decoder+resampler (native/src/mww_native.cc)
+    when built, falling back to scipy.
+    """
     if path.lower().endswith(".wav"):
+        from microwakeword_tpu import native
+
+        if native.available():
+            try:
+                data, rate = native.wav_read_mono_f32(path)
+                if rate != target_rate:
+                    from math import gcd
+
+                    g = gcd(rate, target_rate)
+                    data = native.resample_poly(data, target_rate // g, rate // g)
+                return data
+            except ValueError:
+                pass  # exotic wav (e.g. adpcm): scipy fallback below
         rate, data = wavfile.read(path)
         if data.dtype == np.int16:
             data = data.astype(np.float32) / 32768.0

@@ -40,6 +40,16 @@ def remove_silence(
         else audio_data.astype(np.float64) / 32768.0
     )
     step = int(sample_rate * frame_duration)
+
+    from microwakeword_tpu import native
+
+    if native.available():
+        out = native.remove_silence_f32(
+            audio.astype(np.float32), step, min_start, threshold_ratio
+        )
+        if float_type:
+            return out.astype(audio_data.dtype)
+        return (out.astype(np.float64) * 32768.0).astype(np.int16)
     kept = [audio[:min_start]]
     if len(audio) > min_start + step:
         body = audio[min_start:]

@@ -191,6 +191,66 @@ class MmapFeatureSet:
                         spec_f, features_length, truncation_strategy, cutoff
                     )
 
+    def gather_mode(
+        self, mode, features_length, truncation_strategy="default"
+    ) -> np.ndarray | None:
+        """Vectorized equivalent of list(feature_generator(...)) using the
+        native threaded gather (native/src/mww_native.cc).  Returns
+        [N, features_length, 40] float32, or None if the fast path doesn't
+        apply (non-uint16 store, unsupported strategy) -- callers fall back
+        to feature_generator.
+        """
+        from microwakeword_tpu import native
+
+        if truncation_strategy == "default":
+            truncation_strategy = self.truncation_strategy
+        if truncation_strategy in ("none", "random") or not native.available():
+            return None
+        outs = []
+        for store in self.stores[mode]:
+            if store.dtype != np.uint16:
+                return None
+            lengths = np.diff(store.offsets).astype(np.int64)
+            clip_idx, starts = [], []
+            if truncation_strategy == "split":
+                step_slices = int(1000 * self.step_s * self.stride)
+                for ci, n in enumerate(lengths):
+                    # range(0, n - L, step): excludes the final window start.
+                    n_win = max(0, -(-(int(n) - features_length) // step_slices))
+                    for w in range(n_win):
+                        clip_idx.append(ci)
+                        starts.append(w * step_slices)
+            else:
+                for ci, n in enumerate(lengths):
+                    n = int(n)
+                    for cutoff in self.fixed_right_cutoffs:
+                        if n > features_length:
+                            if truncation_strategy == "truncate_start":
+                                s = n - features_length
+                            elif truncation_strategy == "truncate_end":
+                                s = 0
+                            elif truncation_strategy == "fixed_right_cutoff":
+                                s = n - features_length - cutoff
+                            else:
+                                return None
+                        else:
+                            s = n - features_length  # <=0: left zero-pad
+                        clip_idx.append(ci)
+                        starts.append(s)
+            outs.append(
+                native.gather_windows(
+                    store.data,
+                    store.offsets,
+                    np.asarray(clip_idx, np.int32),
+                    np.asarray(starts, np.int32),
+                    features_length,
+                    scale=float(FEATURE_SCALE),
+                )
+            )
+        if not outs:
+            return np.zeros((0, features_length, 40), np.float32)
+        return np.concatenate(outs, axis=0)
+
 
 class FeatureHandler:
     """Loads all configured feature sets (reference FeatureHandler,
@@ -264,23 +324,50 @@ class FeatureHandler:
                 labels.append(p.label)
                 weights.append(p.penalty_weight)
         else:
+            # Per-provider blocks, native threaded gather when possible
+            # (preserves provider order for label/weight alignment).
+            blocks = []
             for p in self.providers:
-                for spec in p.feature_generator(
-                    mode, features_length, truncation_strategy
-                ):
-                    data.append(spec)
-                    labels.append(p.label)
-                    weights.append(p.penalty_weight)
+                fast = (
+                    p.gather_mode(mode, features_length, truncation_strategy)
+                    if truncation_strategy != "none"
+                    else None
+                )
+                if fast is None:
+                    slow = list(
+                        p.feature_generator(mode, features_length, truncation_strategy)
+                    )
+                    if truncation_strategy == "none":
+                        data.extend(slow)
+                        fast = slow  # only for the label/weight count below
+                    else:
+                        fast = (
+                            np.stack(slow).astype(np.float32)
+                            if slow
+                            else np.zeros((0, features_length, 40), np.float32)
+                        )
+                        blocks.append(fast)
+                else:
+                    blocks.append(fast)
+                labels.extend([p.label] * len(fast))
+                weights.extend([p.penalty_weight] * len(fast))
 
         labels = np.asarray(labels, dtype=np.float32)
         weights = np.asarray(weights, dtype=np.float32)
         if truncation_strategy == "none":
             return data, labels, weights
-        data = (
-            np.stack(data).astype(np.float32)
-            if data
-            else np.zeros((0, features_length, 40), np.float32)
-        )
+        if mode == "training":
+            data = (
+                np.stack(data).astype(np.float32)
+                if data
+                else np.zeros((0, features_length, 40), np.float32)
+            )
+        else:
+            data = (
+                np.concatenate(blocks, axis=0)
+                if blocks
+                else np.zeros((0, features_length, 40), np.float32)
+            )
         # The reference shuffles every non-"none" result (data.py:591-597;
         # its mode condition is an always-true quirk, SURVEY.md §8.1 -- the
         # *intent*, shuffling eval sets, is preserved deliberately).
