@@ -58,10 +58,12 @@ def measure_train(steps: int, batch: int):
         provider_cutoffs=jnp.zeros((2, S.MAX_CUTOFFS), jnp.int32),
         provider_n_cutoffs=jnp.asarray([1, 1], jnp.int32),
     )
-    _, step = make_train_step(bundle, packed, batch, cfg.spectrogram_length)
-    import optax  # noqa: F401
-
-    optimizer, _ = make_train_step(bundle, packed, batch, cfg.spectrogram_length)
+    # Chained steps (train/loop.py steps_per_call): one XLA dispatch per
+    # chunk, the way production configs run the hot loop.
+    chunk = 10
+    optimizer, step = make_train_step(
+        bundle, packed, batch, cfg.spectrogram_length, steps_per_call=chunk
+    )
     opt_state = optimizer.init(variables["params"])
     params, batch_stats = variables["params"], variables["batch_stats"]
 
@@ -75,18 +77,19 @@ def measure_train(steps: int, batch: int):
         negative_class_weight=20.0,
     )
     # warmup/compile
-    for i in range(3):
+    for i in range(2):
         params, batch_stats, opt_state, m = step(
             params, batch_stats, opt_state, jax.random.PRNGKey(i), **kw
         )
     jax.block_until_ready(params)
+    n_calls = max(1, steps // chunk)
     t0 = time.perf_counter()
-    for i in range(steps):
+    for i in range(n_calls):
         params, batch_stats, opt_state, m = step(
             params, batch_stats, opt_state, jax.random.PRNGKey(100 + i), **kw
         )
     jax.block_until_ready(params)
-    dt = (time.perf_counter() - t0) / steps
+    dt = (time.perf_counter() - t0) / (n_calls * chunk)
     audio_s_per_batch = batch * cfg.spectrogram_length * 0.010
     return {
         "steps_per_sec": 1.0 / dt,
@@ -96,22 +99,26 @@ def measure_train(steps: int, batch: int):
     }
 
 
-def measure_frontend(reps: int, batch: int = 64, clip_s: float = 3.0):
+def measure_frontend(reps: int, batch: int = 64, clip_s: float = 3.0,
+                     backend: str = "xla"):
     import jax
+    import jax.numpy as jnp
 
-    from microwakeword_tpu.frontend import xla as fx
+    if backend == "pallas":
+        from microwakeword_tpu.frontend import pallas as fmod
+    else:
+        from microwakeword_tpu.frontend import xla as fmod
 
     n = int(16000 * clip_s)
     rng = np.random.default_rng(0)
     audio = rng.integers(-8000, 8000, (batch, n)).astype(np.int16)
-    import jax.numpy as jnp
 
     audio_j = jnp.asarray(audio)
-    out = fx.frontend_batch(audio_j, step_ms=10)
+    out = fmod.frontend_batch(audio_j, step_ms=10)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fx.frontend_batch(audio_j, step_ms=10)
+        out = fmod.frontend_batch(audio_j, step_ms=10)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / reps
     return {

@@ -51,6 +51,7 @@ def streaming_model_roc(
     ignore_slices_after_accept: int = 25,
     accuracy_name: str = "streaming_roc.txt",
     stream_fn=None,
+    mesh=None,
 ):
     """False-accepts-per-hour vs false-rejection ROC of the streaming model
     (reference tflite_streaming_model_roc, test.py:293-403).
@@ -58,6 +59,8 @@ def streaming_model_roc(
     Returns dict with auc, curve coordinates, faph and cutoff table.
     ``stream_fn(variables, x)`` can override the prob source (e.g. an int8
     quantized or TFLite-backed runner) while keeping identical metric math.
+    ``mesh`` shards tracks over a jax.sharding.Mesh ('data' axis) and scans
+    them as batched SPMD programs (parallel/eval.py) -- the pod-scale path.
     """
     ambient_tracks, _, _ = feature_handler.get_data(
         ambient_set,
@@ -65,10 +68,21 @@ def streaming_model_roc(
         features_length=config["spectrogram_length"],
         truncation_strategy="none",
     )
-    ambient_probs = []
-    for track in ambient_tracks:
-        probs = _track_stream_probs(bundle, variables, track, stream_fn)
-        ambient_probs.append(R.moving_average(probs, sliding_window_length))
+
+    def _all_track_probs(track_list):
+        if mesh is not None and stream_fn is None:
+            from microwakeword_tpu.parallel.eval import batched_track_probs
+
+            return batched_track_probs(bundle, variables, track_list, mesh)
+        return [
+            _track_stream_probs(bundle, variables, t, stream_fn)
+            for t in track_list
+        ]
+
+    ambient_probs = [
+        R.moving_average(p, sliding_window_length)
+        for p in _all_track_probs(list(ambient_tracks))
+    ]
 
     cutoffs = R.DEFAULT_CUTOFFS
     faph = R.compute_false_accepts_per_hour(

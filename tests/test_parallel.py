@@ -126,3 +126,103 @@ def test_sharded_matches_single_device():
     np.testing.assert_allclose(float(m1["loss"]), float(mN["loss"]), rtol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(pN)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_sharded_streaming_eval_matches_per_track():
+    """batched_track_probs (tracks sharded over the mesh) == per-track
+    stream_scan, including padding/bucketing edge cases."""
+    from microwakeword_tpu.parallel.eval import batched_track_probs
+
+    mesh = create_mesh()
+    cfg = MixedNetConfig(
+        pointwise_filters=(8, 8),
+        repeat_in_block=(1, 1),
+        mixconv_kernel_sizes=((3,), (5,)),
+        residual_connection=(False, False),
+        first_conv_filters=8,
+        first_conv_kernel_size=3,
+        stride=3,
+        spectrogram_length=30,
+    )
+    bundle = build_model("mixednet", cfg)
+    variables = bundle.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    tracks = [
+        rng.uniform(0, 26, (t, 40)).astype(np.float32)
+        for t in (45, 120, 46, 300, 2)  # mixed buckets; 2 < stride -> empty
+    ]
+    got = batched_track_probs(bundle, variables, tracks, mesh, bucket_granularity=16)
+    for track, g in zip(tracks, got):
+        t = track.shape[0] - track.shape[0] % bundle.stride
+        if t <= 0:
+            assert g.shape == (0,)
+            continue
+        want = np.asarray(
+            bundle.stream_scan(variables, track[None, :t])
+        ).reshape(-1)
+        np.testing.assert_allclose(g, want, rtol=1e-5, atol=1e-5)
+
+
+def test_streaming_roc_mesh_matches_serial(tmp_path):
+    """streaming_model_roc(mesh=...) reproduces the serial result."""
+    from microwakeword_tpu.data.ragged_store import RaggedSpectrogramStore
+    from microwakeword_tpu.data.store import FeatureHandler
+    from microwakeword_tpu.evaluate.streaming_eval import streaming_model_roc
+
+    rng = np.random.default_rng(1)
+
+    def make(n, positive, lo, hi):
+        out = []
+        for _ in range(n):
+            t = rng.integers(lo, hi)
+            s = rng.uniform(0, 80, size=(t, 40))
+            if positive:
+                s[:, 20:] += 300.0
+            else:
+                s[:, :20] += 300.0
+            out.append(s.astype(np.uint16))
+        return out
+
+    d = tmp_path / "pos" / "testing"
+    d.mkdir(parents=True)
+    RaggedSpectrogramStore.create(str(d / "w_mmap"), make(6, True, 40, 60))
+    d = tmp_path / "neg" / "testing_ambient"
+    d.mkdir(parents=True)
+    RaggedSpectrogramStore.create(str(d / "a_mmap"), make(3, False, 200, 400))
+
+    config = {
+        "stride": 1,
+        "window_step_ms": 10,
+        "spectrogram_length": 30,
+        "features": [
+            {"features_dir": str(tmp_path / "pos"), "truth": True,
+             "sampling_weight": 1.0, "penalty_weight": 1.0,
+             "truncation_strategy": "truncate_start", "type": "mmap"},
+            {"features_dir": str(tmp_path / "neg"), "truth": False,
+             "sampling_weight": 1.0, "penalty_weight": 1.0,
+             "truncation_strategy": "random", "type": "mmap"},
+        ],
+    }
+    cfg = MixedNetConfig(
+        pointwise_filters=(8, 8),
+        repeat_in_block=(1, 1),
+        mixconv_kernel_sizes=((3,), (5,)),
+        residual_connection=(False, False),
+        first_conv_filters=8,
+        first_conv_kernel_size=3,
+        spectrogram_length=30,
+    )
+    bundle = build_model("mixednet", cfg)
+    variables = bundle.init(jax.random.PRNGKey(0))
+    fh = FeatureHandler(config)
+    serial = streaming_model_roc(bundle, variables, fh, config)
+    sharded = streaming_model_roc(
+        bundle, variables, fh, config, mesh=create_mesh()
+    )
+    np.testing.assert_allclose(sharded["auc"], serial["auc"], atol=1e-6)
+    np.testing.assert_allclose(
+        sharded["faph_at_cutoffs"], serial["faph_at_cutoffs"], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        sharded["frr_at_cutoffs"], serial["frr_at_cutoffs"], atol=1e-6
+    )
