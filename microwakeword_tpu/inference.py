@@ -1,13 +1,16 @@
 """Streaming wake-word inference on raw audio
 (rebuild of reference inference.py:34-125).
 
-Two interchangeable backends:
+Three interchangeable backends:
 - JAX: the native streaming model (ring-buffer cache scan) -- the TPU/dev
   path;
 - TFLite: an exported stream_state_internal(.tflite) via the interpreter --
-  the deployment-parity path.
+  the deployment-parity path;
+- native: the C++ streaming runtime on an exported .mww model
+  (export/native_runtime.py + native/src/mww_runtime.cc) -- the
+  no-Python deployment path.
 
-Both consume our micro-frontend features (uint16*0.0390625 convention).
+All consume our micro-frontend features (uint16*0.0390625 convention).
 """
 
 from __future__ import annotations
@@ -41,6 +44,19 @@ class Model:
             return np.asarray(probs).reshape(-1)
 
         return cls(predict, stride=bundle.stride)
+
+    @classmethod
+    def from_native(cls, path: str, step_ms: int = 10):
+        """Loads an exported .mww model into the C++ streaming runtime."""
+        from microwakeword_tpu.native import StreamingRuntime
+
+        runner = StreamingRuntime(path, step_ms=step_ms)
+
+        def predict(spec: np.ndarray) -> np.ndarray:
+            runner.reset()
+            return runner.predict_spectrogram(np.asarray(spec, np.float32))
+
+        return cls(predict, stride=runner.stride)
 
     @classmethod
     def from_tflite(cls, path: str, stride: int = 1):

@@ -183,3 +183,113 @@ def remove_silence_f32(
         ctypes.c_double(threshold_ratio), out.ctypes.data_as(_f32p),
     )
     return out[: int(n)].copy()
+
+
+# ---------------------------------------------------------------------------
+# Streaming runtime (native/src/mww_runtime.cc)
+# ---------------------------------------------------------------------------
+
+
+def _runtime_lib():
+    lib = _try_load()
+    assert lib is not None, "native library unavailable"
+    if not hasattr(lib, "_runtime_bound"):
+        lib.mww_model_load.argtypes = [ctypes.c_char_p]
+        lib.mww_model_load.restype = ctypes.c_void_p
+        lib.mww_model_free.argtypes = [ctypes.c_void_p]
+        lib.mww_model_stride.argtypes = [ctypes.c_void_p]
+        lib.mww_model_stride.restype = ctypes.c_int
+        lib.mww_model_input_features.argtypes = [ctypes.c_void_p]
+        lib.mww_model_input_features.restype = ctypes.c_int
+        lib.mww_model_reset.argtypes = [ctypes.c_void_p]
+        lib.mww_model_step.argtypes = [ctypes.c_void_p, _f32p]
+        lib.mww_model_step.restype = ctypes.c_float
+        lib.mww_model_predict_spectrogram.argtypes = [
+            ctypes.c_void_p, _f32p, _i64, _f32p,
+        ]
+        lib.mww_model_predict_spectrogram.restype = _i64
+        lib.mww_frontend_create.argtypes = [ctypes.c_int]
+        lib.mww_frontend_create.restype = ctypes.c_void_p
+        lib.mww_frontend_free.argtypes = [ctypes.c_void_p]
+        lib.mww_frontend_reset.argtypes = [ctypes.c_void_p]
+        lib.mww_frontend_process_clip.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16), _i64, _f32p,
+        ]
+        lib.mww_frontend_process_clip.restype = _i64
+        lib.mww_predict_clip.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int16), _i64, _f32p,
+        ]
+        lib.mww_predict_clip.restype = _i64
+        lib._runtime_bound = True
+    return lib
+
+
+class StreamingRuntime:
+    """C++ streaming inference runtime: loads an exported .mww model
+    (export/native_runtime.py) and runs PCM or spectrograms through it.
+
+    The native-deployment analogue of the reference's TFLite interpreter
+    path (reference inference.py:34-125)."""
+
+    def __init__(self, model_path: str, step_ms: int = 10):
+        lib = _runtime_lib()
+        self._lib = lib
+        self._model = lib.mww_model_load(model_path.encode())
+        if not self._model:
+            raise ValueError(f"cannot load native model: {model_path}")
+        self._frontend = lib.mww_frontend_create(step_ms)
+        self.stride = lib.mww_model_stride(self._model)
+        self.input_features = lib.mww_model_input_features(self._model)
+        self.step_ms = step_ms
+
+    def __del__(self):  # pragma: no cover - destructor timing
+        lib = getattr(self, "_lib", None)
+        if lib is not None:
+            if getattr(self, "_model", None):
+                lib.mww_model_free(self._model)
+            if getattr(self, "_frontend", None):
+                lib.mww_frontend_free(self._frontend)
+
+    def reset(self) -> None:
+        self._lib.mww_model_reset(self._model)
+        self._lib.mww_frontend_reset(self._frontend)
+
+    def predict_spectrogram(self, spectrogram: np.ndarray) -> np.ndarray:
+        """[T, 40] float features -> [T // stride] probabilities."""
+        spec = np.ascontiguousarray(spectrogram, dtype=np.float32)
+        steps = spec.shape[0] // self.stride
+        probs = np.empty(steps, np.float32)
+        got = self._lib.mww_model_predict_spectrogram(
+            self._model, spec.ctypes.data_as(_f32p), _i64(spec.shape[0]),
+            probs.ctypes.data_as(_f32p),
+        )
+        return probs[: int(got)]
+
+    def predict_clip(self, pcm: np.ndarray) -> np.ndarray:
+        """int16 (or float [-1,1]) 16 kHz PCM -> streaming probabilities."""
+        if pcm.dtype in (np.float32, np.float64):
+            pcm = np.clip(pcm * 32768, -32768, 32767).astype(np.int16)
+        pcm = np.ascontiguousarray(pcm, dtype=np.int16)
+        hop = 16 * self.step_ms
+        n_frames = max(0, 1 + (len(pcm) - 480) // hop)
+        probs = np.empty(max(n_frames // self.stride, 1), np.float32)
+        got = self._lib.mww_predict_clip(
+            self._frontend, self._model,
+            pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), _i64(len(pcm)),
+            probs.ctypes.data_as(_f32p),
+        )
+        return probs[: int(got)]
+
+    def process_features(self, pcm: np.ndarray) -> np.ndarray:
+        """int16 PCM -> [n_frames, 40] float32 features (native frontend)."""
+        pcm = np.ascontiguousarray(pcm, dtype=np.int16)
+        hop = 16 * self.step_ms
+        n_frames = max(0, 1 + (len(pcm) - 480) // hop)
+        out = np.empty((n_frames, 40), np.float32)
+        got = self._lib.mww_frontend_process_clip(
+            self._frontend,
+            pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), _i64(len(pcm)),
+            out.ctypes.data_as(_f32p),
+        )
+        return out[: int(got)]

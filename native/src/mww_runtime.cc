@@ -1,0 +1,475 @@
+// Standalone C++ streaming inference runtime for microwakeword_tpu models.
+//
+// Executes the op-list format emitted by export/native_runtime.py: a
+// MixedNet streaming step (ring-buffer convs, folded batchnorm, residuals,
+// tail window, dense+sigmoid) plus a float port of the micro_speech
+// frontend (frontend/reference.py) -- PCM in, wake probability out, no
+// Python, no TFLite.  This fills the deployment-runtime role the reference
+// delegates to the TFLite C++ interpreter (reference inference.py:34-64),
+// with state handling equivalent to its streaming model's internal
+// ring-buffer variables (reference stream.py:522-595).
+//
+// Part of libmwwnative.so (built with mww_native.cc; see native/Makefile).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr uint32_t kMagic = 0x3157574D;  // 'MWW1'
+
+enum OpType {
+  kConv = 0,
+  kRelu = 1,
+  kMixConv = 2,
+  kPointwise = 3,
+  kBnorm = 4,
+  kResSave = 5,
+  kResApply = 6,
+  kTail = 7,
+  kDenseSig = 8,
+};
+
+struct Op {
+  int32_t type = 0;
+  int32_t p[9] = {0};
+  // Runtime state:
+  std::vector<float> ring;  // conv/mixconv/tail history frames
+  int ring_rows = 0;
+  int ring_ch = 0;
+};
+
+struct Tensor {
+  const float* data = nullptr;
+  int64_t size = 0;
+};
+
+}  // namespace
+
+extern "C" {
+
+struct mww_model {
+  int32_t stride = 1;
+  int32_t n_features = 40;
+  std::vector<Op> ops;
+  std::vector<Tensor> tensors;
+  std::vector<float> blob;
+  std::vector<std::vector<float>> res_slots;
+  // scratch frames (double buffered)
+  std::vector<float> cur, nxt;
+};
+
+static void reset_state(mww_model* m) {
+  for (auto& op : m->ops) std::fill(op.ring.begin(), op.ring.end(), 0.f);
+  for (auto& s : m->res_slots) std::fill(s.begin(), s.end(), 0.f);
+}
+
+mww_model* mww_model_load(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  uint32_t magic = 0, version = 0;
+  int32_t stride = 0, n_features = 0, n_ops = 0, n_tensors = 0;
+  if (fread(&magic, 4, 1, f) != 1 || magic != kMagic ||
+      fread(&version, 4, 1, f) != 1 || version != 1 ||
+      fread(&stride, 4, 1, f) != 1 || fread(&n_features, 4, 1, f) != 1 ||
+      fread(&n_ops, 4, 1, f) != 1 || fread(&n_tensors, 4, 1, f) != 1) {
+    fclose(f);
+    return nullptr;
+  }
+  auto* m = new mww_model;
+  m->stride = stride;
+  m->n_features = n_features;
+  m->ops.resize(n_ops);
+  for (auto& op : m->ops) {
+    int32_t rec[10];
+    if (fread(rec, 4, 10, f) != 10) {
+      fclose(f);
+      delete m;
+      return nullptr;
+    }
+    op.type = rec[0];
+    std::memcpy(op.p, rec + 1, 9 * 4);
+  }
+  std::vector<std::pair<uint64_t, uint64_t>> table(n_tensors);
+  uint64_t total = 0;
+  for (auto& e : table) {
+    if (fread(&e.first, 8, 1, f) != 1 || fread(&e.second, 8, 1, f) != 1) {
+      fclose(f);
+      delete m;
+      return nullptr;
+    }
+    total = std::max(total, e.first + e.second);
+  }
+  m->blob.resize(total);
+  if (total && fread(m->blob.data(), 4, total, f) != total) {
+    fclose(f);
+    delete m;
+    return nullptr;
+  }
+  fclose(f);
+  m->tensors.resize(n_tensors);
+  for (int i = 0; i < n_tensors; ++i) {
+    m->tensors[i] = {m->blob.data() + table[i].first,
+                     static_cast<int64_t>(table[i].second)};
+  }
+  // Allocate ring buffers and residual slots.
+  int n_slots = 0;
+  int max_ch = n_features * stride;
+  for (auto& op : m->ops) {
+    switch (op.type) {
+      case kConv: {
+        const int k = op.p[0], st = op.p[1], in_ch = op.p[2];
+        op.ring_rows = std::max(0, k - st);
+        op.ring_ch = in_ch;
+        break;
+      }
+      case kMixConv: {
+        op.ring_rows = op.p[0] - 1;
+        op.ring_ch = op.p[1];
+        break;
+      }
+      case kTail: {
+        op.ring_rows = op.p[0] - 1;
+        op.ring_ch = op.p[1];
+        max_ch = std::max(max_ch, op.p[0] * op.p[1]);
+        break;
+      }
+      case kResSave:
+        n_slots = std::max(n_slots, op.p[1] + 1);
+        break;
+      default:
+        break;
+    }
+    op.ring.assign(static_cast<size_t>(op.ring_rows) * op.ring_ch, 0.f);
+    for (int i = 0; i < 9; ++i)
+      if (op.type == kPointwise || op.type == kConv || op.type == kDenseSig ||
+          op.type == kResApply)
+        max_ch = std::max(max_ch, op.p[i == 0 ? 0 : i]);
+  }
+  for (auto& op : m->ops) {
+    if (op.type == kConv || op.type == kPointwise)
+      max_ch = std::max({max_ch, op.p[2], op.p[3]});
+    if (op.type == kResApply) max_ch = std::max({max_ch, op.p[0], op.p[1]});
+  }
+  m->res_slots.resize(n_slots);
+  m->cur.resize(max_ch + 8);
+  m->nxt.resize(max_ch + 8);
+  reset_state(m);
+  return m;
+}
+
+void mww_model_free(mww_model* m) { delete m; }
+int mww_model_stride(mww_model* m) { return m->stride; }
+int mww_model_input_features(mww_model* m) { return m->n_features; }
+void mww_model_reset(mww_model* m) { reset_state(m); }
+
+// One streaming step: frames = [stride, n_features] newest feature slices.
+float mww_model_step(mww_model* m, const float* frames) {
+  std::vector<float>& cur = m->cur;
+  std::vector<float>& nxt = m->nxt;
+  int cur_len = m->stride * m->n_features;
+  std::memcpy(cur.data(), frames, sizeof(float) * cur_len);
+
+  for (auto& op : m->ops) {
+    switch (op.type) {
+      case kConv: {
+        // memory = [ring (k-stride rows), new (stride rows)] -> one frame.
+        const int k = op.p[0], st = op.p[1], in_ch = op.p[2],
+                  out_ch = op.p[3];
+        const float* w = m->tensors[op.p[4]].data;  // [k, in, out]
+        const int ring = op.ring_rows;
+        // Assemble k input rows.
+        std::vector<float>& mem = nxt;  // reuse as scratch rows? need k*in
+        if (static_cast<int>(mem.size()) < k * in_ch + out_ch)
+          mem.resize(k * in_ch + out_ch);
+        for (int r = 0; r < ring; ++r)
+          std::memcpy(mem.data() + r * in_ch, op.ring.data() + r * in_ch,
+                      sizeof(float) * in_ch);
+        for (int r = 0; r < st; ++r)
+          std::memcpy(mem.data() + (ring + r) * in_ch, cur.data() + r * in_ch,
+                      sizeof(float) * in_ch);
+        // Update ring with last `ring` rows of memory.
+        for (int r = 0; r < ring; ++r)
+          std::memcpy(op.ring.data() + r * in_ch,
+                      mem.data() + (k - ring + r) * in_ch,
+                      sizeof(float) * in_ch);
+        float* out = mem.data() + k * in_ch;
+        const float* bias =
+            op.p[5] >= 0 ? m->tensors[op.p[5]].data : nullptr;
+        for (int o = 0; o < out_ch; ++o) out[o] = bias ? bias[o] : 0.f;
+        for (int t = 0; t < k; ++t) {
+          const float* row = mem.data() + t * in_ch;
+          const float* wt = w + static_cast<int64_t>(t) * in_ch * out_ch;
+          for (int i = 0; i < in_ch; ++i) {
+            const float v = row[i];
+            if (v == 0.f) continue;
+            const float* wo = wt + static_cast<int64_t>(i) * out_ch;
+            for (int o = 0; o < out_ch; ++o) out[o] += v * wo[o];
+          }
+        }
+        std::memcpy(cur.data(), out, sizeof(float) * out_ch);
+        cur_len = out_ch;
+        break;
+      }
+      case kRelu: {
+        for (int i = 0; i < op.p[0]; ++i) cur[i] = std::max(0.f, cur[i]);
+        break;
+      }
+      case kMixConv: {
+        const int kmax = op.p[0], ch = op.p[1];
+        const float* w = m->tensors[op.p[2]].data;  // [kmax, ch]
+        const int ring = op.ring_rows;
+        // out[c] = sum_t w[t][c] * mem[t][c], mem = [ring rows, current]
+        for (int c = 0; c < ch; ++c) nxt[c] = w[(kmax - 1) * ch + c] * cur[c];
+        for (int t = 0; t < ring; ++t) {
+          const float* row = op.ring.data() + t * ch;
+          const float* wt = w + t * ch;
+          for (int c = 0; c < ch; ++c) nxt[c] += wt[c] * row[c];
+        }
+        // Ring shifts by one frame: drop oldest, append current.
+        if (ring > 0) {
+          std::memmove(op.ring.data(), op.ring.data() + ch,
+                       sizeof(float) * ch * (ring - 1));
+          std::memcpy(op.ring.data() + ch * (ring - 1), cur.data(),
+                      sizeof(float) * ch);
+        }
+        std::swap(cur, nxt);
+        cur_len = ch;
+        break;
+      }
+      case kPointwise: {
+        const int in_ch = op.p[0], out_ch = op.p[1];
+        const float* w = m->tensors[op.p[2]].data;  // [in, out]
+        const float* bias = op.p[3] >= 0 ? m->tensors[op.p[3]].data : nullptr;
+        for (int o = 0; o < out_ch; ++o) nxt[o] = bias ? bias[o] : 0.f;
+        for (int i = 0; i < in_ch; ++i) {
+          const float v = cur[i];
+          if (v == 0.f) continue;
+          const float* wo = w + static_cast<int64_t>(i) * out_ch;
+          for (int o = 0; o < out_ch; ++o) nxt[o] += v * wo[o];
+        }
+        std::swap(cur, nxt);
+        cur_len = out_ch;
+        break;
+      }
+      case kBnorm: {
+        const float* scale = m->tensors[op.p[1]].data;
+        const float* offset = m->tensors[op.p[2]].data;
+        for (int c = 0; c < op.p[0]; ++c) cur[c] = cur[c] * scale[c] + offset[c];
+        break;
+      }
+      case kResSave: {
+        auto& slot = m->res_slots[op.p[1]];
+        slot.assign(cur.begin(), cur.begin() + op.p[0]);
+        break;
+      }
+      case kResApply: {
+        const int in_ch = op.p[0], out_ch = op.p[1];
+        const float* w = m->tensors[op.p[2]].data;
+        const float* scale = m->tensors[op.p[3]].data;
+        const float* offset = m->tensors[op.p[4]].data;
+        const auto& saved = m->res_slots[op.p[5]];
+        for (int o = 0; o < out_ch; ++o) nxt[o] = 0.f;
+        for (int i = 0; i < in_ch; ++i) {
+          const float v = saved[i];
+          if (v == 0.f) continue;
+          const float* wo = w + static_cast<int64_t>(i) * out_ch;
+          for (int o = 0; o < out_ch; ++o) nxt[o] += v * wo[o];
+        }
+        for (int o = 0; o < out_ch; ++o)
+          cur[o] += nxt[o] * scale[o] + offset[o];
+        break;
+      }
+      case kTail: {
+        const int window = op.p[0], ch = op.p[1];
+        const bool pooled = op.p[2] != 0, max_pool = op.p[3] != 0;
+        const int ring = op.ring_rows;  // window - 1
+        // memory = [ring rows, current frame]
+        if (static_cast<int>(nxt.size()) < window * ch)
+          nxt.resize(window * ch);
+        std::memcpy(nxt.data(), op.ring.data(), sizeof(float) * ring * ch);
+        std::memcpy(nxt.data() + ring * ch, cur.data(), sizeof(float) * ch);
+        // ring <- last ring rows of memory
+        std::memmove(op.ring.data(), nxt.data() + ch,
+                     sizeof(float) * ring * ch);
+        if (pooled) {
+          for (int c = 0; c < ch; ++c) {
+            float acc = max_pool ? -1e30f : 0.f;
+            for (int t = 0; t < window; ++t) {
+              const float v = nxt[t * ch + c];
+              acc = max_pool ? std::max(acc, v) : acc + v;
+            }
+            cur[c] = max_pool ? acc : acc / window;
+          }
+          cur_len = ch;
+        } else {
+          std::swap(cur, nxt);
+          cur_len = window * ch;
+        }
+        break;
+      }
+      case kDenseSig: {
+        const int in_dim = op.p[0], out_dim = op.p[1];
+        const float* w = m->tensors[op.p[2]].data;  // [in, out]
+        const float* bias = m->tensors[op.p[3]].data;
+        for (int o = 0; o < out_dim; ++o) {
+          double acc = bias[o];
+          for (int i = 0; i < in_dim; ++i)
+            acc += static_cast<double>(cur[i]) * w[i * out_dim + o];
+          cur[o] = static_cast<float>(1.0 / (1.0 + std::exp(-acc)));
+        }
+        cur_len = out_dim;
+        break;
+      }
+      default:
+        return -1.f;
+    }
+  }
+  (void)cur_len;
+  return cur[0];
+}
+
+// Spectrogram [T, n_features] -> probs[T / stride] (stateful across calls).
+int64_t mww_model_predict_spectrogram(mww_model* m, const float* spec,
+                                      int64_t t, float* probs) {
+  const int64_t steps = t / m->stride;
+  for (int64_t s = 0; s < steps; ++s)
+    probs[s] = mww_model_step(m, spec + s * m->stride * m->n_features);
+  return steps;
+}
+
+// ---------------------------------------------------------------------------
+// Float micro_speech frontend (port of frontend/reference.py)
+// ---------------------------------------------------------------------------
+
+struct mww_frontend {
+  int step_ms = 10;
+  int hop = 160;
+  std::vector<double> window;            // [480]
+  std::vector<double> dft_cos, dft_sin;  // [480 * 257] row-major by sample
+  std::vector<double> mel;               // [257 * 40]
+  std::vector<double> smoothing;         // [40]
+  std::vector<double> noise_estimate;    // [40]
+};
+
+namespace {
+
+constexpr int kWin = 480;
+constexpr int kFft = 512;
+constexpr int kBins = kFft / 2 + 1;
+constexpr int kChan = 40;
+constexpr double kLower = 125.0, kUpper = 7500.0;
+constexpr double kEvenSmooth = 0.025, kOddSmooth = 0.06;
+constexpr double kMinSignal = 0.05;
+constexpr double kPcanStrength = 0.95, kPcanOffset = 10.0;
+constexpr int kPcanBits = 6, kCorrectionBits = 3, kLogShift = 6;
+constexpr float kFeatureScale = 0.0390625f;
+
+double freq_to_mel(double f) { return 1127.0 * std::log1p(f / 700.0); }
+
+}  // namespace
+
+mww_frontend* mww_frontend_create(int step_ms) {
+  auto* fe = new mww_frontend;
+  fe->step_ms = step_ms;
+  fe->hop = 16 * step_ms;
+  fe->window.resize(kWin);
+  for (int i = 0; i < kWin; ++i)
+    fe->window[i] = 0.5 - 0.5 * std::cos(2.0 * M_PI * (i + 0.5) / kWin);
+  fe->dft_cos.resize(static_cast<size_t>(kWin) * kBins);
+  fe->dft_sin.resize(static_cast<size_t>(kWin) * kBins);
+  for (int i = 0; i < kWin; ++i) {
+    for (int k = 0; k < kBins; ++k) {
+      const double ang = 2.0 * M_PI * i * k / kFft;
+      fe->dft_cos[static_cast<size_t>(i) * kBins + k] = std::cos(ang);
+      fe->dft_sin[static_cast<size_t>(i) * kBins + k] = -std::sin(ang);
+    }
+  }
+  // Mel filterbank (frontend/reference.py mel_filterbank_matrix).
+  fe->mel.assign(static_cast<size_t>(kBins) * kChan, 0.0);
+  const double mel_low = freq_to_mel(kLower), mel_hi = freq_to_mel(kUpper);
+  const double spacing = (mel_hi - mel_low) / (kChan + 1);
+  for (int b = 0; b < kBins; ++b) {
+    const double m = freq_to_mel(b * (16000.0 / kFft));
+    if (m <= mel_low || m > mel_low + spacing * (kChan + 1)) continue;
+    int k = static_cast<int>(std::floor((m - mel_low) / spacing));
+    if (m == mel_low + spacing * k) k -= 1;  // searchsorted 'left' edge case
+    k = std::min(std::max(k, 0), kChan);
+    const double frac = (m - (mel_low + spacing * k)) / spacing;
+    if (k < kChan) fe->mel[static_cast<size_t>(b) * kChan + k] += frac;
+    if (k - 1 >= 0) fe->mel[static_cast<size_t>(b) * kChan + k - 1] += 1.0 - frac;
+  }
+  fe->smoothing.resize(kChan);
+  for (int c = 0; c < kChan; ++c)
+    fe->smoothing[c] = (c % 2 == 0) ? kEvenSmooth : kOddSmooth;
+  fe->noise_estimate.assign(kChan, 0.0);
+  return fe;
+}
+
+void mww_frontend_free(mww_frontend* fe) { delete fe; }
+void mww_frontend_reset(mww_frontend* fe) {
+  std::fill(fe->noise_estimate.begin(), fe->noise_estimate.end(), 0.0);
+}
+
+// int16 PCM -> [n_frames, 40] float32 features; returns n_frames.
+// n_frames = 1 + (n - 480)/hop (0 if n < 480); out must hold n_frames*40.
+int64_t mww_frontend_process_clip(mww_frontend* fe, const int16_t* pcm,
+                                  int64_t n, float* out) {
+  if (n < kWin) return 0;
+  const int64_t n_frames = 1 + (n - kWin) / fe->hop;
+  std::vector<double> windowed(kWin), sf(kChan);
+  for (int64_t t = 0; t < n_frames; ++t) {
+    const int16_t* x = pcm + t * fe->hop;
+    for (int i = 0; i < kWin; ++i) windowed[i] = x[i] * fe->window[i];
+    // Windowed DFT energy -> mel -> sqrt/8 (scaled filterbank).
+    std::vector<double> energy(kBins);
+    for (int k = 0; k < kBins; ++k) {
+      double re = 0.0, im = 0.0;
+      for (int i = 0; i < kWin; ++i) {
+        re += windowed[i] * fe->dft_cos[static_cast<size_t>(i) * kBins + k];
+        im += windowed[i] * fe->dft_sin[static_cast<size_t>(i) * kBins + k];
+      }
+      energy[k] = re * re + im * im;
+    }
+    for (int c = 0; c < kChan; ++c) {
+      double acc = 0.0;
+      for (int k = 0; k < kBins; ++k)
+        acc += energy[k] * fe->mel[static_cast<size_t>(k) * kChan + c];
+      sf[c] = std::sqrt(std::max(acc, 0.0)) / 8.0;
+    }
+    // Noise suppression + PCAN + log scale (reference.py frontend_frames).
+    for (int c = 0; c < kChan; ++c) {
+      double& est = fe->noise_estimate[c];
+      est = (1.0 - fe->smoothing[c]) * est + fe->smoothing[c] * sf[c];
+      const double sub =
+          std::max(sf[c] - std::min(est, sf[c]), kMinSignal * sf[c]);
+      const double snr =
+          (sub / 8.0) * std::pow(1.0 + est / kPcanOffset, -kPcanStrength);
+      const double pcan = snr < 2.0 ? snr * snr / 4.0 : snr - 1.0;
+      const double q6 = std::floor(pcan * (1 << kPcanBits));
+      const double value = q6 * (1 << kCorrectionBits);
+      double logged =
+          value > 1.0 ? std::log(std::max(value, 1.0)) * (1 << kLogShift) : 0.0;
+      logged = std::min(std::max(std::round(logged), 0.0), 65535.0);
+      out[t * kChan + c] = static_cast<float>(logged) * kFeatureScale;
+    }
+  }
+  return n_frames;
+}
+
+// Convenience: PCM -> streaming probabilities (frontend + model).
+// probs must hold (1 + (n-480)/hop) / stride entries; returns count.
+int64_t mww_predict_clip(mww_frontend* fe, mww_model* m, const int16_t* pcm,
+                         int64_t n, float* probs) {
+  if (n < kWin) return 0;
+  const int64_t n_frames = 1 + (n - kWin) / fe->hop;
+  std::vector<float> feats(static_cast<size_t>(n_frames) * kChan);
+  mww_frontend_process_clip(fe, pcm, n, feats.data());
+  return mww_model_predict_spectrogram(m, feats.data(), n_frames, probs);
+}
+
+}  // extern "C"
