@@ -51,8 +51,20 @@ class PackedTrainingData:
     provider_n_cutoffs: jnp.ndarray  # [P] int32
 
 
-def pack_training_data(providers) -> PackedTrainingData:
-    """Concatenates every provider's training split into device arrays."""
+def pack_training_data(
+    providers, shard_index: int | None = None, shard_count: int | None = None
+) -> PackedTrainingData:
+    """Concatenates every provider's training split into device arrays.
+
+    Multi-host input sharding: host h keeps clips ``i % shard_count ==
+    shard_index`` of every store (deterministic, disjoint, near-balanced) so
+    each process uploads only its slice of the corpus; defaults to
+    jax.process_index()/process_count() (single host: everything).
+    """
+    if shard_index is None:
+        shard_index = jax.process_index()
+    if shard_count is None:
+        shard_count = jax.process_count()
     frames_parts, offsets, lengths = [], [], []
     p_logit, p_start, p_count, p_label, p_penalty, p_strategy = [], [], [], [], [], []
     p_cutoffs, p_ncut = [], []
@@ -61,13 +73,24 @@ def pack_training_data(providers) -> PackedTrainingData:
     for p in providers:
         n_clips = 0
         for store in p.stores["training"]:
-            arr = np.ascontiguousarray(store.data)
+            if shard_count > 1:
+                keep = np.arange(shard_index, len(store), shard_count)
+                if len(keep) == 0:
+                    continue
+                clip_lens = np.diff(store.offsets)[keep]
+                arr = np.concatenate(
+                    [store.data[store.offsets[i] : store.offsets[i + 1]] for i in keep]
+                )
+                offs = np.concatenate([[0], np.cumsum(clip_lens)])[:-1] + frame_pos
+            else:
+                arr = np.ascontiguousarray(store.data)
+                clip_lens = np.diff(store.offsets)
+                offs = np.asarray(store.offsets[:-1], np.int64) + frame_pos
             frames_parts.append(arr)
-            offs = np.asarray(store.offsets[:-1], np.int64) + frame_pos
             offsets.append(offs)
-            lengths.append(np.diff(store.offsets))
+            lengths.append(clip_lens)
             frame_pos += arr.shape[0]
-            n_clips += len(store)
+            n_clips += len(clip_lens)
         if n_clips == 0:
             continue
         p_logit.append(np.log(p.sampling_weight) if p.sampling_weight > 0 else -1e30)

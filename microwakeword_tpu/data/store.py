@@ -375,8 +375,10 @@ class FeatureHandler:
         return data[idx], labels[idx], weights[idx]
 
     # ------------------------------------------------------------------
-    def pack_training(self):
-        """Packs all training splits for the on-device sampler."""
+    def pack_training(self, shard_index=None, shard_count=None):
+        """Packs all training splits for the on-device sampler; on multi-host
+        pods each process packs only its deterministic shard of the clips
+        (data/sampler.py pack_training_data)."""
         from microwakeword_tpu.data.sampler import pack_training_data
 
-        return pack_training_data(self.providers)
+        return pack_training_data(self.providers, shard_index, shard_count)

@@ -213,3 +213,40 @@ def test_device_sampler_short_clip_padding(tmp_path):
     feats = np.asarray(feats)
     np.testing.assert_allclose(feats[:, :5], 0.0)
     np.testing.assert_allclose(feats[:, 5:], 100 * 0.0390625, rtol=1e-5)
+
+
+def test_pack_training_data_host_sharding(tmp_path):
+    """Shards partition the clips disjointly and preserve per-clip content."""
+    import numpy as np
+
+    from microwakeword_tpu.data import sampler as S
+    from microwakeword_tpu.data.ragged_store import RaggedSpectrogramStore
+    from microwakeword_tpu.data.store import FeatureHandler
+
+    rng = np.random.default_rng(0)
+    specs = [rng.integers(0, 660, (n, 40)).astype(np.uint16) for n in range(10, 21)]
+    d = tmp_path / "pos" / "training"
+    d.mkdir(parents=True)
+    RaggedSpectrogramStore.create(str(d / "w_mmap"), specs)
+    config = {
+        "features": [
+            {"features_dir": str(tmp_path / "pos"), "truth": True,
+             "sampling_weight": 1.0, "penalty_weight": 1.0,
+             "truncation_strategy": "random", "type": "mmap"},
+        ]
+    }
+    fh = FeatureHandler(config)
+    full = fh.pack_training(0, 1)
+    shards = [fh.pack_training(i, 3) for i in range(3)]
+    # Disjoint cover: shard i holds clips i, i+3, ...
+    total = sum(int(s.clip_length.shape[0]) for s in shards)
+    assert total == len(specs) == int(full.clip_length.shape[0])
+    for i, s in enumerate(shards):
+        want_clips = specs[i::3]
+        assert list(np.asarray(s.clip_length)) == [c.shape[0] for c in want_clips]
+        frames = np.asarray(s.frames)
+        offs = np.asarray(s.clip_offset)
+        for j, clip in enumerate(want_clips):
+            np.testing.assert_array_equal(
+                frames[offs[j] : offs[j] + clip.shape[0]], clip
+            )
