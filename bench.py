@@ -20,6 +20,7 @@ is generous to the reference).
 import argparse
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -60,7 +61,7 @@ def measure_train(steps: int, batch: int):
     )
     # Chained steps (train/loop.py steps_per_call): one XLA dispatch per
     # chunk, the way production configs run the hot loop.
-    chunk = 10
+    chunk = 100
     optimizer, step = make_train_step(
         bundle, packed, batch, cfg.spectrogram_length, steps_per_call=chunk
     )
@@ -96,6 +97,67 @@ def measure_train(steps: int, batch: int):
         "audio_seconds_per_sec": audio_s_per_batch / dt,
         "spectrogram_length": cfg.spectrogram_length,
         "batch": batch,
+    }
+
+
+def measure_population(n_models: int, steps: int, batch: int):
+    """Sweep throughput: n_models trained concurrently (parallel/population)."""
+    import jax
+    import jax.numpy as jnp
+
+    from microwakeword_tpu.data import sampler as S
+    from microwakeword_tpu.models import build_model
+    from microwakeword_tpu.models.presets import flagship_config
+    from microwakeword_tpu.parallel.population import (
+        init_population,
+        make_population_train_step,
+    )
+
+    cfg = flagship_config()
+    bundle = build_model("mixednet", cfg)
+    rng = np.random.default_rng(0)
+    n_clips = 800
+    lengths = rng.integers(cfg.spectrogram_length, cfg.spectrogram_length + 60, n_clips)
+    frames = rng.uniform(0, 660, (int(lengths.sum()), 40)).astype(np.uint16)
+    offsets = np.concatenate([[0], np.cumsum(lengths)])[:-1]
+    half = n_clips // 2
+    packed = S.PackedTrainingData(
+        frames=jnp.asarray(frames),
+        clip_offset=jnp.asarray(offsets.astype(np.int32)),
+        clip_length=jnp.asarray(lengths.astype(np.int32)),
+        provider_logits=jnp.asarray([0.0, 0.0], jnp.float32),
+        provider_clip_start=jnp.asarray([0, half], jnp.int32),
+        provider_clip_count=jnp.asarray([half, n_clips - half], jnp.int32),
+        provider_label=jnp.asarray([1.0, 0.0], jnp.float32),
+        provider_penalty=jnp.asarray([1.0, 1.0], jnp.float32),
+        provider_strategy=jnp.asarray([1, 0], jnp.int32),
+        provider_cutoffs=jnp.zeros((2, S.MAX_CUTOFFS), jnp.int32),
+        provider_n_cutoffs=jnp.asarray([1, 1], jnp.int32),
+    )
+    variables = init_population(bundle, range(n_models))
+    optimizer, step = make_population_train_step(
+        bundle, packed, batch, cfg.spectrogram_length
+    )
+    opt_state = jax.vmap(optimizer.init)(variables["params"])
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(n_models, dtype=jnp.uint32))
+    args = (jnp.full((n_models,), 0.001), jnp.ones((n_models,)),
+            jnp.full((n_models,), 20.0))
+    kw = dict(time_mask_max_size=5, time_mask_count=2,
+              freq_mask_max_size=5, freq_mask_count=2)
+    p, bs, os_, m = step(
+        variables["params"], variables["batch_stats"], opt_state, keys, *args, **kw
+    )
+    jax.block_until_ready(p)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        keys = jax.vmap(lambda k: jax.random.fold_in(k, i))(keys)
+        p, bs, os_, m = step(p, bs, os_, keys, *args, **kw)
+    jax.block_until_ready(p)
+    dt = (time.perf_counter() - t0) / steps
+    return {
+        "n_models": n_models,
+        "model_steps_per_sec": n_models / dt,
+        "audio_seconds_per_sec": n_models * batch * cfg.spectrogram_length * 0.01 / dt,
     }
 
 
@@ -136,10 +198,18 @@ def main():
     import jax
 
     backend = jax.default_backend()
-    steps = args.steps or (10 if args.quick else 50)
+    steps = args.steps or (200 if args.quick else 500)
 
+    def log(msg):
+        print(msg, file=sys.stderr, flush=True)
+
+    t0 = time.perf_counter()
     train = measure_train(steps, batch=128)
-    frontend = measure_frontend(5 if args.quick else 20)
+    log(f"[bench] train done {time.perf_counter()-t0:.0f}s")
+    frontend = measure_frontend(30 if args.quick else 100)
+    log(f"[bench] frontend done {time.perf_counter()-t0:.0f}s")
+    sweep = measure_population(8, 15 if args.quick else 60, batch=128)
+    log(f"[bench] sweep done {time.perf_counter()-t0:.0f}s")
 
     fe, tr = frontend["audio_seconds_per_sec"], train["audio_seconds_per_sec"]
     combined = 1.0 / (1.0 / fe + 1.0 / tr)
@@ -162,6 +232,8 @@ def main():
         "train_audio_s_per_s": round(tr, 1),
         "train_steps_per_sec": round(train["steps_per_sec"], 2),
         "frontend_audio_s_per_s": round(fe, 1),
+        "sweep8_audio_s_per_s": round(sweep["audio_seconds_per_sec"], 1),
+        "sweep8_model_steps_per_sec": round(sweep["model_steps_per_sec"], 1),
         "baseline": {
             "audio_seconds_per_sec": baseline_rate,
             "what": (baseline or {}).get("what", "estimate"),

@@ -1,0 +1,227 @@
+"""Population training: N models trained concurrently on one mesh.
+
+Wake-word development is sweep-heavy (seeds, learning rates, class
+weights); the models are ~10^4-10^5 params, far too small to saturate even
+one TPU chip.  Training a *population* in one program -- parameters stacked
+on a leading axis, the train step vmapped over it, the population axis
+sharded over the mesh -- multiplies MXU utilization and is the TPU-native
+realization of "model-parallel across models" (SURVEY.md §2.3 TP note).
+
+Each member samples its own batches (per-member PRNG streams) and can have
+its own learning rate / class weights; the data (PackedTrainingData) is
+shared device memory.  A member's trajectory is bit-identical to training
+it alone with the same seeds (vmap is deterministic) -- verified in
+tests/test_population.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from microwakeword_tpu.data import sampler as S
+from microwakeword_tpu.train import metrics as M
+from microwakeword_tpu.train.loop import weighted_bce
+
+
+def init_population(bundle, seeds) -> dict:
+    """Initializes stacked variables: every leaf gains a leading [N] axis."""
+    keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
+    return jax.vmap(bundle.init)(keys)
+
+
+def member_variables(stacked: dict, i: int) -> dict:
+    """Extracts member i's {'params', 'batch_stats'} from stacked variables."""
+    return jax.tree.map(lambda x: x[i], stacked)
+
+
+def make_population_train_step(
+    bundle,
+    packed,
+    batch_size: int,
+    features_length: int,
+    mesh=None,
+):
+    """Builds (optimizer, step) for a stacked population.
+
+    step(params, batch_stats, opt_state, rngs[N], learning_rates[N],
+         pos_weights[N], neg_weights[N], *, spec-augment statics)
+      -> (params, batch_stats, opt_state, metrics[N])
+
+    With ``mesh``, the population axis is sharded over mesh('data'): each
+    device trains its slice of the population; there are no cross-member
+    collectives.  ``packed`` is replicated.
+    """
+    optimizer = optax.inject_hyperparams(optax.adam)(
+        learning_rate=0.001, eps=1e-7
+    )
+
+    def loss_fn(params, batch_stats, feats, labels, weights, rng):
+        probs, updates = bundle.module.apply(
+            {"params": params, "batch_stats": batch_stats},
+            feats,
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": rng},
+        )
+        return weighted_bce(probs, labels, weights), (probs, updates["batch_stats"])
+
+    def member_step(
+        params,
+        batch_stats,
+        opt_state,
+        rng,
+        learning_rate,
+        positive_class_weight,
+        negative_class_weight,
+        *,
+        time_mask_max_size,
+        time_mask_count,
+        freq_mask_max_size,
+        freq_mask_count,
+    ):
+        r_batch, r_drop = jax.random.split(rng)
+        feats, labels, penalties = S.sample_batch(
+            packed,
+            r_batch,
+            batch_size,
+            features_length,
+            time_mask_max_size=time_mask_max_size,
+            time_mask_count=time_mask_count,
+            freq_mask_max_size=freq_mask_max_size,
+            freq_mask_count=freq_mask_count,
+        )
+        class_w = jnp.where(
+            labels > 0.5, positive_class_weight, negative_class_weight
+        )
+        weights = penalties * class_w
+        (loss, (probs, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, batch_stats, feats, labels, weights, r_drop)
+        opt_state.hyperparams["learning_rate"] = learning_rate
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        step_metrics = M.binary_metrics(probs, labels)
+        step_metrics["loss"] = loss
+        return params, new_stats, opt_state, step_metrics
+
+    statics = (
+        "time_mask_max_size",
+        "time_mask_count",
+        "freq_mask_max_size",
+        "freq_mask_count",
+    )
+
+    def vstep(params, batch_stats, opt_state, rngs, lrs, pos_w, neg_w, *,
+              time_mask_max_size, time_mask_count, freq_mask_max_size,
+              freq_mask_count):
+        # spec-augment sizes are static (python ints) -> close over them so
+        # pjit in_shardings only sees the 7 vmapped array args.
+        def member(p, bs, os_, r, lr, pw, nw):
+            return member_step(
+                p, bs, os_, r, lr, pw, nw,
+                time_mask_max_size=time_mask_max_size,
+                time_mask_count=time_mask_count,
+                freq_mask_max_size=freq_mask_max_size,
+                freq_mask_count=freq_mask_count,
+            )
+
+        return jax.vmap(member)(params, batch_stats, opt_state, rngs, lrs, pos_w, neg_w)
+
+    if mesh is None:
+        return optimizer, jax.jit(vstep, static_argnames=statics)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    pop = NamedSharding(mesh, P("data"))
+
+    jitted_inner = jax.jit(
+        lambda params, batch_stats, opt_state, rngs, lrs, pos_w, neg_w, sa: vstep(
+            params, batch_stats, opt_state, rngs, lrs, pos_w, neg_w, **dict(sa)
+        ),
+        static_argnums=(7,),
+        in_shardings=((pop,) * 7),
+        out_shardings=(pop, pop, pop, pop),
+    )
+
+    def jitted(params, batch_stats, opt_state, rngs, lrs, pos_w, neg_w, **sa):
+        return jitted_inner(
+            params, batch_stats, opt_state, rngs, lrs, pos_w, neg_w,
+            tuple(sorted(sa.items())),
+        )
+
+    return optimizer, jitted
+
+
+def train_population(
+    bundle,
+    packed,
+    n_models: int,
+    steps: int,
+    batch_size: int,
+    features_length: int,
+    seeds=None,
+    learning_rates=None,
+    positive_class_weights=None,
+    negative_class_weights=None,
+    mesh=None,
+    spec_augment: dict | None = None,
+    eval_interval: int = 0,
+    sample_seed: int = 1234,
+):
+    """Trains a population; returns (stacked variables, history).
+
+    history: list of {"step", "loss": [N], "accuracy": [N], ...} records
+    (every eval_interval steps, plus the final step).
+    """
+    seeds = list(seeds) if seeds is not None else list(range(n_models))
+    assert len(seeds) == n_models
+    lrs = jnp.asarray(
+        learning_rates if learning_rates is not None else [0.001] * n_models,
+        jnp.float32,
+    )
+    pos_w = jnp.asarray(
+        positive_class_weights if positive_class_weights is not None
+        else [1.0] * n_models,
+        jnp.float32,
+    )
+    neg_w = jnp.asarray(
+        negative_class_weights if negative_class_weights is not None
+        else [1.0] * n_models,
+        jnp.float32,
+    )
+    sa = {
+        "time_mask_max_size": 0,
+        "time_mask_count": 0,
+        "freq_mask_max_size": 0,
+        "freq_mask_count": 0,
+        **(spec_augment or {}),
+    }
+
+    variables = init_population(bundle, seeds)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    optimizer, step_fn = make_population_train_step(
+        bundle, packed, batch_size, features_length, mesh=mesh
+    )
+    opt_state = jax.vmap(optimizer.init)(params)
+
+    # Per-member PRNG streams: member i uses fold_in(stream, seeds[i]).
+    base = jax.random.PRNGKey(sample_seed)
+    member_keys = jnp.stack(
+        [jax.random.fold_in(base, int(s)) for s in seeds]
+    )
+
+    history = []
+    for step in range(1, steps + 1):
+        step_keys = jax.vmap(lambda k: jax.random.fold_in(k, step))(member_keys)
+        params, batch_stats, opt_state, metrics = step_fn(
+            params, batch_stats, opt_state, step_keys, lrs, pos_w, neg_w, **sa
+        )
+        if (eval_interval and step % eval_interval == 0) or step == steps:
+            history.append(
+                {"step": step}
+                | {k: np.asarray(v) for k, v in metrics.items()}
+            )
+    return {"params": params, "batch_stats": batch_stats}, history
