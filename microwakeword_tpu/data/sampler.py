@@ -72,25 +72,40 @@ def pack_training_data(
     clip_pos = 0
     for p in providers:
         n_clips = 0
-        for store in p.stores["training"]:
-            if shard_count > 1:
-                keep = np.arange(shard_index, len(store), shard_count)
-                if len(keep) == 0:
-                    continue
-                clip_lens = np.diff(store.offsets)[keep]
-                arr = np.concatenate(
-                    [store.data[store.offsets[i] : store.offsets[i + 1]] for i in keep]
-                )
+        if getattr(p, "stores", None) is None:
+            # Pool-materializing provider (e.g. ClipsFeatureSet): generate
+            # this host's shard of freshly augmented spectrograms.
+            arr, clip_lens = p.generate_pool(shard_index, shard_count)
+            if len(clip_lens):
                 offs = np.concatenate([[0], np.cumsum(clip_lens)])[:-1] + frame_pos
-            else:
-                arr = np.ascontiguousarray(store.data)
-                clip_lens = np.diff(store.offsets)
-                offs = np.asarray(store.offsets[:-1], np.int64) + frame_pos
-            frames_parts.append(arr)
-            offsets.append(offs)
-            lengths.append(clip_lens)
-            frame_pos += arr.shape[0]
-            n_clips += len(clip_lens)
+                frames_parts.append(arr)
+                offsets.append(offs)
+                lengths.append(clip_lens)
+                frame_pos += arr.shape[0]
+                n_clips += len(clip_lens)
+        else:
+            for store in p.stores["training"]:
+                if shard_count > 1:
+                    keep = np.arange(shard_index, len(store), shard_count)
+                    if len(keep) == 0:
+                        continue
+                    clip_lens = np.diff(store.offsets)[keep]
+                    arr = np.concatenate(
+                        [
+                            store.data[store.offsets[i] : store.offsets[i + 1]]
+                            for i in keep
+                        ]
+                    )
+                    offs = np.concatenate([[0], np.cumsum(clip_lens)])[:-1] + frame_pos
+                else:
+                    arr = np.ascontiguousarray(store.data)
+                    clip_lens = np.diff(store.offsets)
+                    offs = np.asarray(store.offsets[:-1], np.int64) + frame_pos
+                frames_parts.append(arr)
+                offsets.append(offs)
+                lengths.append(clip_lens)
+                frame_pos += arr.shape[0]
+                n_clips += len(clip_lens)
         if n_clips == 0:
             continue
         p_logit.append(np.log(p.sampling_weight) if p.sampling_weight > 0 else -1e30)

@@ -252,12 +252,101 @@ class MmapFeatureSet:
         return np.concatenate(outs, axis=0)
 
 
+class ClipsFeatureSet:
+    """On-the-fly feature set: generates freshly augmented spectrograms from
+    audio files during training (reference ClipsHandlerWrapperGenerator,
+    data.py:324-402).  Training-only; all other modes are empty.
+
+    For the on-device sampler (data/sampler.py) -- which needs the corpus
+    resident in HBM -- a pool of ``pack_pool_size`` augmented spectrograms is
+    materialized at pack time (per-host sharded).  The host-side
+    ``get_data`` path draws a fresh augmentation per sample, exactly like
+    the reference.
+    """
+
+    stores = None  # marker: no on-disk ragged stores
+
+    def __init__(
+        self,
+        clips_settings: dict,
+        augmentation_settings: dict,
+        spectrogram_generation_settings: dict,
+        truth: bool,
+        sampling_weight: float,
+        penalty_weight: float,
+        truncation_strategy: str,
+        pack_pool_size: int = 2000,
+    ):
+        from microwakeword_tpu.audio.augmentation import Augmentation
+        from microwakeword_tpu.audio.clips import Clips
+        from microwakeword_tpu.audio.spectrograms import SpectrogramGeneration
+
+        self.label = float(truth)
+        self.sampling_weight = float(sampling_weight)
+        self.penalty_weight = float(penalty_weight)
+        self.truncation_strategy = truncation_strategy
+        self.fixed_right_cutoffs = [0]
+        self.pack_pool_size = int(pack_pool_size)
+
+        clips = Clips(**clips_settings)
+        augmenter = Augmentation(**augmentation_settings)
+        self.spectrogram_generation = SpectrogramGeneration(
+            clips, augmenter, **spectrogram_generation_settings
+        )
+        self._generator = self.spectrogram_generation.spectrogram_generator(
+            random=True
+        )
+
+    def get_mode_size(self, mode: str) -> int:
+        if mode == "training":
+            return len(self.spectrogram_generation.clips.clips)
+        return 0
+
+    def get_mode_duration(self, mode: str) -> float:
+        return 0.0
+
+    def get_random_spectrogram(
+        self, mode, features_length, truncation_strategy, rng=None
+    ):
+        if truncation_strategy == "default":
+            truncation_strategy = self.truncation_strategy
+        spec = next(self._generator)
+        return _scale(
+            fixed_length_spectrogram(
+                spec, features_length, truncation_strategy, 0, rng
+            )
+        )
+
+    def feature_generator(self, mode, features_length, truncation_strategy="default"):
+        """Training-only provider: deterministic passes yield nothing
+        (reference data.py:395-402)."""
+        return iter(())
+
+    def gather_mode(self, mode, features_length, truncation_strategy="default"):
+        return None
+
+    def generate_pool(self, shard_index: int = 0, shard_count: int = 1):
+        """Materializes this host's shard of the sampler pool.
+
+        Returns (frames uint16 [sum(T_i), 40], lengths int64 [n]).
+        """
+        n = max(1, self.pack_pool_size // max(1, shard_count))
+        specs = []
+        for _ in range(n):
+            spec = np.asarray(next(self._generator))
+            if not np.issubdtype(spec.dtype, np.uint16):
+                spec = np.round(spec / FEATURE_SCALE).astype(np.uint16)
+            specs.append(spec)
+        lengths = np.asarray([s.shape[0] for s in specs], np.int64)
+        return np.concatenate(specs, axis=0), lengths
+
+
 class FeatureHandler:
     """Loads all configured feature sets (reference FeatureHandler,
     data.py:405-597); config schema matches the reference YAML."""
 
     def __init__(self, config: dict):
-        self.providers: list[MmapFeatureSet] = []
+        self.providers: list = []
         stride = config.get("stride", 1)
         step_ms = config.get("window_step_ms", 10)
         for fs in config.get("features", []):
@@ -272,6 +361,19 @@ class FeatureHandler:
                         stride=stride,
                         step_ms=step_ms,
                         fixed_right_cutoffs=fs.get("fixed_right_cutoffs"),
+                    )
+                )
+            elif fs.get("type") == "clips":
+                self.providers.append(
+                    ClipsFeatureSet(
+                        fs["clips_settings"],
+                        fs.get("augmentation_settings", {}),
+                        fs.get("spectrogram_generation_settings", {}),
+                        fs["truth"],
+                        fs["sampling_weight"],
+                        fs["penalty_weight"],
+                        fs["truncation_strategy"],
+                        pack_pool_size=fs.get("pack_pool_size", 2000),
                     )
                 )
             else:

@@ -250,3 +250,68 @@ def test_pack_training_data_host_sharding(tmp_path):
             np.testing.assert_array_equal(
                 frames[offs[j] : offs[j] + clip.shape[0]], clip
             )
+
+
+def test_clips_feature_set(tmp_path):
+    """'clips'-type feature sets generate augmented spectrograms on the fly
+    (reference ClipsHandlerWrapperGenerator, data.py:324-402) and pack a
+    materialized pool for the on-device sampler."""
+    from microwakeword_tpu.audio.io import save_clip
+
+    rng = np.random.default_rng(0)
+    audio_dir = tmp_path / "clips"
+    audio_dir.mkdir()
+    t = np.arange(16000)
+    for i in range(4):
+        tone = (0.3 * np.sin(2 * np.pi * (300 + 80 * i) * t / 16000)).astype(
+            np.float32
+        )
+        save_clip(tone, str(audio_dir / f"c{i}.wav"))
+
+    config = {
+        "stride": 1,
+        "window_step_ms": 10,
+        "features": [
+            {
+                "type": "clips",
+                "truth": True,
+                "sampling_weight": 1.0,
+                "penalty_weight": 1.0,
+                "truncation_strategy": "truncate_start",
+                "pack_pool_size": 6,
+                "clips_settings": {
+                    "input_directory": str(audio_dir),
+                    "file_pattern": "*.wav",
+                },
+                "augmentation_settings": {
+                    "augmentation_duration_s": 1.2,
+                    "augmentation_probabilities": {"Gain": 1.0},
+                },
+                "spectrogram_generation_settings": {"step_ms": 10},
+            },
+        ],
+    }
+    fh = FeatureHandler(config)
+    assert fh.get_mode_size("training") == 4
+    assert fh.get_mode_size("validation") == 0
+
+    # Host path: fresh augmented spectrogram, fixed length, scaled.
+    x, y, w = fh.get_data(
+        "training", batch_size=3, features_length=50, rng=np.random.default_rng(1)
+    )
+    assert x.shape == (3, 50, 40) and x.dtype == np.float32
+    assert np.all(y == 1.0) and np.all(w == 1.0)
+    assert 0.0 <= x.min() and x.max() <= 26.0 and x.max() > 0
+
+    # Pack path: materialized pool feeds the on-device sampler.
+    packed = fh.pack_training(0, 1)
+    assert int(packed.clip_length.shape[0]) == 6
+    feats, labels, weights = jax.jit(
+        functools.partial(S.sample_batch, batch_size=4, features_length=50)
+    )(packed, jax.random.PRNGKey(0))
+    assert feats.shape == (4, 50, 40)
+    assert np.all(np.asarray(labels) == 1.0)
+
+    # Sharded pool: each host generates pool_size // shard_count clips.
+    shard = fh.pack_training(1, 3)
+    assert int(shard.clip_length.shape[0]) == 2
