@@ -225,6 +225,186 @@ def build_tf_streaming_mixednet(cfg: MixedNetConfig, params, batch_stats,
     return mod
 
 
+def _ssn_fold(ssn_params, ssn_stats, channels: int, eps=1e-3):
+    """Folds SubSpectralNorm into per-channel (scale, offset).
+
+    Our SubSpectralNorm normalizes the reshaped [B,T,C/g,g] over a g-sized
+    feature axis (models/layers.py SubSpectralNorm): channel c uses BN
+    parameter index c % g, so the per-channel fold tiles the g-vector.
+    """
+    bn_p = ssn_params["BatchNorm_0"]
+    bn_s = ssn_stats["BatchNorm_0"]
+    gamma = np.asarray(bn_p["scale"], np.float32)
+    beta = np.asarray(bn_p["bias"], np.float32)
+    mean = np.asarray(bn_s["mean"], np.float32)
+    var = np.asarray(bn_s["var"], np.float32)
+    s = gamma / np.sqrt(var + eps)
+    b = beta - s * mean
+    g = s.shape[0]
+    reps = channels // g
+    return np.tile(s, reps), np.tile(b, reps)
+
+
+def build_tf_streaming_inception(cfg, params, batch_stats, streaming: bool = True):
+    """Builds a tf.Module running the Inception model in streaming mode
+    (input [1, 1, 40], per-conv ring buffers as tf.Variables) or
+    non-streaming mode (input [1, spectrogram_length, 40]).
+
+    Mirrors models/inception.py exactly: valid (dilated) time convs with
+    SubSpectralNorm folded in, branch outputs aligned by dropping leading
+    frames (reference StridedDrop semantics, strided_drop.py:40-44), a
+    tail window ring buffer, then Dense + sigmoid.
+    """
+    import tensorflow as tf
+
+    from microwakeword_tpu.models.inception import tail_length
+
+    dtype = tf.float32
+    mod = tf.Module()
+    mod.ring_vars = []
+
+    # ---- gather folded constants in flax module order -----------------
+    # ConvBnRelu_i submodules: PointwiseConv_0 or StreamConv_0 + SubSpectralNorm_0
+    def conv_bn(idx: int):
+        p = params[f"ConvBnRelu_{idx}"]
+        s = batch_stats[f"ConvBnRelu_{idx}"]
+        if "PointwiseConv_0" in p:
+            kernel = np.asarray(p["PointwiseConv_0"]["kernel"], np.float32)
+            kernel = kernel[None, :, :]  # [1, in, out]
+            dilation = 1
+        else:
+            kernel = np.asarray(p["StreamConv_0"]["kernel"], np.float32)
+            dilation = None  # caller supplies
+        scale, offset = _ssn_fold(
+            p["SubSpectralNorm_0"], s["SubSpectralNorm_0"], kernel.shape[-1]
+        )
+        return kernel * scale[None, None, :], offset, kernel.shape[0]
+
+    # Layer program: list of ops applied in order, with branch structure.
+    idx = 0
+    cnn1 = []
+    for _f, _k, _g in zip(
+        cfg.cnn1_filters, cfg.cnn1_kernel_sizes, cfg.cnn1_subspectral_groups
+    ):
+        kernel, offset, k = conv_bn(idx)
+        idx += 1
+        cnn1.append((kernel, offset, 1))
+    blocks = []
+    for _f1, _f2, _k, _g, dil in zip(
+        cfg.cnn2_filters1,
+        cfg.cnn2_filters2,
+        cfg.cnn2_kernel_sizes,
+        cfg.cnn2_subspectral_groups,
+        cfg.cnn2_dilation,
+    ):
+        # creation order in models/inception.py: b1(1x1), b2(1x1), b2(k),
+        # b3(1x1), b3(k), b3(k), then post-concat 1x1
+        entries = []
+        for _ in range(7):
+            kernel, offset, k = conv_bn(idx)
+            idx += 1
+            entries.append((kernel, offset, dil))
+        blocks.append(entries)
+
+    dense_kernel = np.asarray(params["Dense_0"]["kernel"], np.float32)
+    dense_bias = np.asarray(params["Dense_0"]["bias"], np.float32)
+    t_tail = tail_length(cfg)
+
+    # ---- pre-create ring-buffer variables (creation = consumption order)
+    if streaming:
+        specs = []
+
+        def conv_ring(kernel, dil):
+            k = kernel.shape[0]
+            ring = dil * (k - 1)
+            if ring > 0:
+                specs.append((ring, kernel.shape[1]))
+
+        for kernel, _o, dil in cnn1:
+            conv_ring(kernel, dil)
+        for entries in blocks:
+            for kernel, _o, dil in entries[:6]:
+                conv_ring(kernel, dil)
+        if t_tail > 1:
+            ch = blocks[-1][6][0].shape[-1] if blocks else cnn1[-1][0].shape[-1]
+            specs.append((t_tail - 1, ch))
+        for i, (frames, channels) in enumerate(specs):
+            mod.ring_vars.append(
+                tf.Variable(
+                    tf.zeros([1, frames, 1, channels], dtype),
+                    trainable=False,
+                    name=f"ring_{i}",
+                )
+            )
+
+    def apply_conv(net, kernel, offset, dil, ring_iter):
+        k = kernel.shape[0]
+        ring = dil * (k - 1)
+        if streaming and ring > 0:
+            v = next(ring_iter)
+            mem = tf.concat([v, net], axis=1)
+            assign = v.assign(mem[:, -ring:])
+            with tf.control_dependencies([assign]):
+                net = tf.identity(mem)
+        net = (
+            tf.nn.conv2d(
+                net,
+                kernel[:, None, :, :],
+                strides=[1, 1, 1, 1],
+                dilations=[1, dil, 1, 1],
+                padding="VALID",
+            )
+            + offset
+        )
+        return tf.nn.relu(net)
+
+    def forward(x):
+        net = x  # [1, T, 1, 40]
+        ring_iter = iter(mod.ring_vars)
+        for kernel, offset, dil in cnn1:
+            net = apply_conv(net, kernel, offset, dil, ring_iter)
+        for entries in blocks:
+            b1 = apply_conv(net, *entries[0], ring_iter)
+            b2 = apply_conv(net, *entries[1], ring_iter)
+            b2 = apply_conv(b2, *entries[2], ring_iter)
+            b3 = apply_conv(net, *entries[3], ring_iter)
+            b3 = apply_conv(b3, *entries[4], ring_iter)
+            b3 = apply_conv(b3, *entries[5], ring_iter)
+            # align leading frames (StridedDrop; identity in streaming)
+            d1 = b1.shape[1] - b3.shape[1]
+            d2 = b2.shape[1] - b3.shape[1]
+            b1 = b1[:, d1:] if d1 > 0 else b1
+            b2 = b2[:, d2:] if d2 > 0 else b2
+            net = tf.concat([b1, b2, b3], axis=-1)
+            net = apply_conv(net, *entries[6], ring_iter)
+        if streaming and t_tail > 1:
+            v = next(ring_iter)
+            mem = tf.concat([v, net], axis=1)
+            assign = v.assign(mem[:, -(t_tail - 1):])
+            with tf.control_dependencies([assign]):
+                net = tf.identity(mem)
+        net = tf.reshape(net, [1, -1])
+        logits = tf.matmul(net, dense_kernel) + dense_bias
+        return tf.sigmoid(logits)
+
+    t_in = cfg.stride if streaming else cfg.spectrogram_length
+    mod.forward = tf.function(
+        lambda x: forward(tf.reshape(x, [1, t_in, 1, 40])),
+        input_signature=[tf.TensorSpec([1, t_in, 40], dtype, name="input")],
+    )
+    mod.forward.get_concrete_function()
+    return mod
+
+
+def build_tf_streaming(name: str, cfg, params, batch_stats, streaming: bool = True):
+    """Dispatch: builds the streaming TF graph for any model family."""
+    if name == "mixednet":
+        return build_tf_streaming_mixednet(cfg, params, batch_stats, streaming)
+    if name == "inception":
+        return build_tf_streaming_inception(cfg, params, batch_stats, streaming)
+    raise ValueError(f"no TFLite exporter for model {name!r}")
+
+
 def representative_dataset(feature_handler, config, n_specs: int = 500):
     """Reference utils.py:303-325: training spectrograms chopped into
     (stride, 40) steps, with the frontend range pinned to 0.0 / 26.0."""
@@ -329,8 +509,8 @@ def export_and_evaluate_tflite(
 
     name = "stream_state_internal_quant" if quantize else "stream_state_internal"
     folder = os.path.join(train_dir, f"tflite_{name}")
-    module = build_tf_streaming_mixednet(
-        bundle.config, variables["params"], variables["batch_stats"]
+    module = build_tf_streaming(
+        bundle.name, bundle.config, variables["params"], variables["batch_stats"]
     )
     rep = representative_dataset(feature_handler, config) if quantize else None
     path = convert_to_tflite(

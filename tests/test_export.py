@@ -121,3 +121,59 @@ def test_tflite_ops_are_tflm_compatible(exported, tmp_path):
         "PAD", "TRANSPOSE", "QUANTIZE", "DEQUANTIZE",
     }
     assert ops <= allowed, ops - allowed
+
+
+# ---------------------------------------------------------------------------
+# Inception export
+# ---------------------------------------------------------------------------
+
+def make_inception_bundle():
+    from microwakeword_tpu.models.inception import InceptionConfig, tail_length
+
+    cfg = InceptionConfig(
+        cnn1_filters=(8,),
+        cnn1_kernel_sizes=(3,),
+        cnn1_subspectral_groups=(4,),
+        cnn2_filters1=(6, 8),
+        cnn2_filters2=(8, 12),
+        cnn2_kernel_sizes=(3, 5),
+        cnn2_subspectral_groups=(1, 2),
+        cnn2_dilation=(1, 2),
+        spectrogram_length=60,
+    )
+    assert tail_length(cfg) > 1
+    bundle = build_model("inception", cfg)
+    variables = bundle.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (16, cfg.spectrogram_length, 40)) * 20
+    _, upd = bundle.forward_train(variables, x, dropout_rng=jax.random.PRNGKey(2))
+    variables = dict(variables, batch_stats=upd["batch_stats"])
+    return cfg, bundle, variables
+
+
+def test_tf_streaming_inception_matches_jax():
+    cfg, bundle, variables = make_inception_bundle()
+    module = EX.build_tf_streaming_inception(
+        cfg, variables["params"], variables["batch_stats"]
+    )
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 26, (1, cfg.spectrogram_length * 2, 40)).astype(np.float32)
+    jax_probs = np.asarray(bundle.stream_scan(variables, x)).reshape(-1)
+    tf_probs = []
+    for i in range(x.shape[1]):
+        out = module.forward(tf.convert_to_tensor(x[:, i : i + 1]))
+        tf_probs.append(float(np.asarray(out).reshape(-1)[0]))
+    np.testing.assert_allclose(tf_probs, jax_probs, atol=2e-5)
+
+
+def test_tflite_inception_float_matches_jax(tmp_path):
+    cfg, bundle, variables = make_inception_bundle()
+    module = EX.build_tf_streaming_inception(
+        cfg, variables["params"], variables["batch_stats"]
+    )
+    path = EX.convert_to_tflite(module, str(tmp_path / "inc.tflite"))
+    runner = EX.TFLiteStreamingModel(path, stride=1)
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0, 26, (cfg.spectrogram_length * 2, 40)).astype(np.float32)
+    lite = runner.predict_spectrogram(x)
+    jax_probs = np.asarray(bundle.stream_scan(variables, x[None])).reshape(-1)
+    np.testing.assert_allclose(lite, jax_probs, atol=1e-4)
