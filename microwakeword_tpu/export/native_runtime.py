@@ -16,15 +16,19 @@ Binary layout (little-endian):
     blob: float32[]
 
 Op types (native/src/mww_runtime.cc must match):
-    0 CONV      p: k, stride, in_ch, out_ch, w, bias(-1)    ring k-stride
+    0 CONV      p: k, stride, in_ch, out_ch, w, bias(-1), dilation(0=1)
+                                               ring dilation*(k-1)-(stride-1)
     1 RELU      p: ch
     2 MIXCONV   p: kmax, ch, w                              ring kmax-1
     3 POINTWISE p: in_ch, out_ch, w, bias(-1)
     4 BNORM     p: ch, scale, offset                        (folded)
-    5 RES_SAVE  p: ch, slot
+    5 RES_SAVE  p: ch, slot                      (also generic branch save)
     6 RES_APPLY p: in_ch, out_ch, w, scale, offset, slot
     7 TAIL      p: window, ch, pooled, max_pool             ring window-1
     8 DENSE_SIG p: in_dim, out_dim, w, bias
+    9 RESTORE   p: ch, slot
+   10 CONCAT    p: ch1, slot1, ch2, slot2, ch3   cur = [s1, s2, cur]
+   11 SPATTN    p: ch, k, w([k,2])               ring (k-1) x (mean,max)
 """
 
 from __future__ import annotations
@@ -39,6 +43,7 @@ from microwakeword_tpu.models.mixednet import MixedNetConfig, tail_length
 MAGIC = 0x3157574D
 OP_CONV, OP_RELU, OP_MIXCONV, OP_POINTWISE, OP_BNORM = 0, 1, 2, 3, 4
 OP_RES_SAVE, OP_RES_APPLY, OP_TAIL, OP_DENSE_SIG = 5, 6, 7, 8
+OP_RESTORE, OP_CONCAT, OP_SPATTN = 9, 10, 11
 
 
 class _Builder:
@@ -58,7 +63,7 @@ class _Builder:
     def serialize(self, stride: int, n_features: int) -> bytes:
         out = [
             struct.pack(
-                "<IIiiii", MAGIC, 1, stride, n_features,
+                "<IIiiii", MAGIC, 2, stride, n_features,
                 len(self.ops), len(self.tensors),
             )
         ]
@@ -102,8 +107,11 @@ def _mixconv_masked_kernel(kernel: np.ndarray, kernel_sizes) -> np.ndarray:
 def export_mixednet(bundle, variables: dict, path: str) -> None:
     """Serializes a MixedNet bundle + trained variables to `path` (.mww)."""
     cfg: MixedNetConfig = bundle.config
-    if cfg.spatial_attention:
-        raise NotImplementedError("spatial_attention not supported by the native runtime")
+    if cfg.spatial_attention and not cfg.pooled:
+        # Without pooling the streaming Dense input (C) cannot match the
+        # non-streaming trained Dense ((tail-3)*C) -- the model itself has
+        # no streaming form in that configuration.
+        raise ValueError("spatial_attention requires pooled=True for streaming")
     params = variables["params"]
     stats = variables.get("batch_stats", {})
     b = _Builder()
@@ -161,11 +169,118 @@ def export_mixednet(bundle, variables: dict, path: str) -> None:
     t_tail = tail_length(cfg)
     dense_in = ch
     if t_tail > 1:
-        b.op(OP_TAIL, t_tail, ch, int(cfg.pooled), int(cfg.max_pool))
-        dense_in = ch if cfg.pooled else t_tail * ch
+        if cfg.spatial_attention:
+            # Streaming SpatialAttention gates only the newest frame
+            # (models/mixednet.py SpatialAttention); with pooled=True the
+            # subsequent pooling over one frame is the identity, so the
+            # dense input is just [ch].
+            att_kernel = np.asarray(
+                params["SpatialAttention_0"]["StreamConv_0"]["kernel"]
+            )  # [k, 2, 1]
+            w = b.tensor(att_kernel[:, :, 0])
+            b.op(OP_SPATTN, ch, att_kernel.shape[0], w)
+            dense_in = ch
+        else:
+            b.op(OP_TAIL, t_tail, ch, int(cfg.pooled), int(cfg.max_pool))
+            dense_in = ch if cfg.pooled else t_tail * ch
     w = b.tensor(np.asarray(params["Dense_0"]["kernel"]))  # [in, 1]
     bias = b.tensor(np.asarray(params["Dense_0"]["bias"]))
     b.op(OP_DENSE_SIG, dense_in, 1, w, bias)
 
     with open(path, "wb") as f:
         f.write(b.serialize(cfg.stride, bundle.input_features))
+
+
+def _ssn_fold_native(ssn_params, ssn_stats, channels: int):
+    """SubSpectralNorm -> per-channel (scale, offset); channel c uses BN
+    index c % g (models/layers.py SubSpectralNorm reshape semantics)."""
+    scale, offset = _fold_bn(ssn_params["BatchNorm_0"], ssn_stats["BatchNorm_0"])
+    reps = channels // scale.shape[0]
+    return np.tile(scale, reps), np.tile(offset, reps)
+
+
+def export_inception(bundle, variables: dict, path: str) -> None:
+    """Serializes an Inception bundle + trained variables to `path` (.mww).
+
+    Mirrors models/inception.py streaming mode: valid (dilated) time convs
+    with SubSpectralNorm folded to per-channel affine, three branches per
+    block computed from a saved input (RES_SAVE/RESTORE) and concatenated,
+    then a tail window and Dense+sigmoid.
+    """
+    from microwakeword_tpu.models.inception import (
+        InceptionConfig,
+        tail_length as inception_tail,
+    )
+
+    cfg: InceptionConfig = bundle.config
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    b = _Builder()
+
+    idx = 0
+
+    def emit_conv_bn(in_ch: int, dilation: int = 1) -> int:
+        """Emits ConvBnRelu_{idx}: conv + folded SubSpectralNorm + relu;
+        returns out channels."""
+        nonlocal idx
+        p = params[f"ConvBnRelu_{idx}"]
+        s = stats[f"ConvBnRelu_{idx}"]
+        if "PointwiseConv_0" in p:
+            kernel = np.asarray(p["PointwiseConv_0"]["kernel"])  # [in, out]
+            out_ch = kernel.shape[-1]
+            b.op(OP_POINTWISE, in_ch, out_ch, b.tensor(kernel), -1)
+        else:
+            kernel = np.asarray(p["StreamConv_0"]["kernel"])  # [k, in, out]
+            out_ch = kernel.shape[-1]
+            b.op(
+                OP_CONV, kernel.shape[0], 1, in_ch, out_ch,
+                b.tensor(kernel), -1, dilation,
+            )
+        scale, offset = _ssn_fold_native(
+            p["SubSpectralNorm_0"], s["SubSpectralNorm_0"], out_ch
+        )
+        b.op(OP_BNORM, out_ch, b.tensor(scale), b.tensor(offset))
+        b.op(OP_RELU, out_ch)
+        idx += 1
+        return out_ch
+
+    ch = bundle.input_features
+    for _ in cfg.cnn1_filters:
+        ch = emit_conv_bn(ch)
+
+    SLOT_IN, SLOT_B1, SLOT_B2 = 0, 1, 2
+    for dil in cfg.cnn2_dilation:
+        b.op(OP_RES_SAVE, ch, SLOT_IN)
+        f1 = emit_conv_bn(ch)  # b1: 1x1
+        b.op(OP_RES_SAVE, f1, SLOT_B1)
+        b.op(OP_RESTORE, ch, SLOT_IN)
+        c = emit_conv_bn(ch)  # b2: 1x1
+        c = emit_conv_bn(c, dil)  # b2: k-conv
+        b.op(OP_RES_SAVE, c, SLOT_B2)
+        b.op(OP_RESTORE, ch, SLOT_IN)
+        c3 = emit_conv_bn(ch)  # b3: 1x1
+        c3 = emit_conv_bn(c3, dil)  # b3: k-conv
+        c3 = emit_conv_bn(c3, dil)  # b3: k-conv
+        b.op(OP_CONCAT, f1, SLOT_B1, c, SLOT_B2, c3)
+        ch = emit_conv_bn(f1 + c + c3)  # post-concat 1x1
+    t_tail = inception_tail(cfg)
+    dense_in = ch
+    if t_tail > 1:
+        b.op(OP_TAIL, t_tail, ch, 0, 0)
+        dense_in = t_tail * ch
+    w = b.tensor(np.asarray(params["Dense_0"]["kernel"]))
+    bias = b.tensor(np.asarray(params["Dense_0"]["bias"]))
+    b.op(OP_DENSE_SIG, dense_in, 1, w, bias)
+
+    with open(path, "wb") as f:
+        f.write(b.serialize(cfg.stride, bundle.input_features))
+
+
+def export_model(bundle, variables: dict, path: str) -> None:
+    """Exports any supported model family to the native .mww format."""
+    if bundle.name == "mixednet":
+        export_mixednet(bundle, variables, path)
+    elif bundle.name == "inception":
+        export_inception(bundle, variables, path)
+    else:
+        raise ValueError(f"no native exporter for model {bundle.name!r}")

@@ -102,6 +102,9 @@ def main(argv=None):
     parser.add_argument("--test_tf_nonstreaming", type=int, default=0)
     parser.add_argument("--test_tflite_streaming", type=int, default=0)
     parser.add_argument("--test_tflite_streaming_quantized", type=int, default=0)
+    parser.add_argument("--export_native", type=int, default=1,
+                        help="Export train_dir/native/model.mww for the C++ "
+                             "streaming runtime (native/src/mww_runtime.cc)")
     sub = parser.add_subparsers(dest="model_name", required=True)
     add_mixednet_flags(sub.add_parser("mixednet"))
     add_inception_flags(sub.add_parser("inception"))
@@ -155,6 +158,15 @@ def main(argv=None):
             accuracy_name="testing_set_metrics.txt",
         )
         print(f"nonstreaming accuracy: {metrics['accuracy']:.4%}")
+
+    if flags.export_native:
+        from microwakeword_tpu.export.native_runtime import export_model
+
+        native_dir = os.path.join(train_dir, "native")
+        os.makedirs(native_dir, exist_ok=True)
+        native_path = os.path.join(native_dir, "model.mww")
+        export_model(bundle, variables, native_path)
+        print(f"native streaming model: {native_path}")
 
     if flags.test_tflite_streaming or flags.test_tflite_streaming_quantized:
         from microwakeword_tpu.export.tflite import export_and_evaluate_tflite

@@ -23,15 +23,18 @@ namespace {
 constexpr uint32_t kMagic = 0x3157574D;  // 'MWW1'
 
 enum OpType {
-  kConv = 0,
+  kConv = 0,       // p: k, stride, in_ch, out_ch, w, bias(-1), dilation(0=1)
   kRelu = 1,
   kMixConv = 2,
   kPointwise = 3,
   kBnorm = 4,
-  kResSave = 5,
+  kResSave = 5,    // save cur[0:ch] into slot (also generic branch save)
   kResApply = 6,
   kTail = 7,
   kDenseSig = 8,
+  kRestore = 9,    // p: ch, slot -- cur = slot
+  kConcat = 10,    // p: ch1, slot1, ch2, slot2, ch3 -- cur = [s1, s2, cur]
+  kSpAttn = 11,    // p: ch, k, w([k,2]) -- CBAM gate over (mean,max) ring
 };
 
 struct Op {
@@ -74,7 +77,7 @@ mww_model* mww_model_load(const char* path) {
   uint32_t magic = 0, version = 0;
   int32_t stride = 0, n_features = 0, n_ops = 0, n_tensors = 0;
   if (fread(&magic, 4, 1, f) != 1 || magic != kMagic ||
-      fread(&version, 4, 1, f) != 1 || version != 1 ||
+      fread(&version, 4, 1, f) != 1 || version < 1 || version > 2 ||
       fread(&stride, 4, 1, f) != 1 || fread(&n_features, 4, 1, f) != 1 ||
       fread(&n_ops, 4, 1, f) != 1 || fread(&n_tensors, 4, 1, f) != 1) {
     fclose(f);
@@ -123,7 +126,8 @@ mww_model* mww_model_load(const char* path) {
     switch (op.type) {
       case kConv: {
         const int k = op.p[0], st = op.p[1], in_ch = op.p[2];
-        op.ring_rows = std::max(0, k - st);
+        const int dil = op.p[6] > 0 ? op.p[6] : 1;
+        op.ring_rows = std::max(0, dil * (k - 1) - (st - 1));
         op.ring_ch = in_ch;
         break;
       }
@@ -141,6 +145,19 @@ mww_model* mww_model_load(const char* path) {
       case kResSave:
         n_slots = std::max(n_slots, op.p[1] + 1);
         break;
+      case kRestore:
+        n_slots = std::max(n_slots, op.p[1] + 1);
+        max_ch = std::max(max_ch, op.p[0]);
+        break;
+      case kConcat:
+        n_slots = std::max({n_slots, op.p[1] + 1, op.p[3] + 1});
+        max_ch = std::max(max_ch, op.p[0] + op.p[2] + op.p[4]);
+        break;
+      case kSpAttn: {
+        op.ring_rows = op.p[1] - 1;  // k-1 pooled frames
+        op.ring_ch = 2;              // (mean, max) per frame
+        break;
+      }
       default:
         break;
     }
@@ -177,15 +194,17 @@ float mww_model_step(mww_model* m, const float* frames) {
   for (auto& op : m->ops) {
     switch (op.type) {
       case kConv: {
-        // memory = [ring (k-stride rows), new (stride rows)] -> one frame.
+        // memory = [ring rows, new (stride rows)] -> one output frame;
+        // tap t of the kernel reads memory row t*dilation.
         const int k = op.p[0], st = op.p[1], in_ch = op.p[2],
                   out_ch = op.p[3];
+        const int dil = op.p[6] > 0 ? op.p[6] : 1;
         const float* w = m->tensors[op.p[4]].data;  // [k, in, out]
         const int ring = op.ring_rows;
-        // Assemble k input rows.
-        std::vector<float>& mem = nxt;  // reuse as scratch rows? need k*in
-        if (static_cast<int>(mem.size()) < k * in_ch + out_ch)
-          mem.resize(k * in_ch + out_ch);
+        const int rows = ring + st;  // == dil*(k-1) + 1
+        std::vector<float>& mem = nxt;  // scratch: rows*in + out
+        if (static_cast<int>(mem.size()) < rows * in_ch + out_ch)
+          mem.resize(rows * in_ch + out_ch);
         for (int r = 0; r < ring; ++r)
           std::memcpy(mem.data() + r * in_ch, op.ring.data() + r * in_ch,
                       sizeof(float) * in_ch);
@@ -195,14 +214,14 @@ float mww_model_step(mww_model* m, const float* frames) {
         // Update ring with last `ring` rows of memory.
         for (int r = 0; r < ring; ++r)
           std::memcpy(op.ring.data() + r * in_ch,
-                      mem.data() + (k - ring + r) * in_ch,
+                      mem.data() + (rows - ring + r) * in_ch,
                       sizeof(float) * in_ch);
-        float* out = mem.data() + k * in_ch;
+        float* out = mem.data() + rows * in_ch;
         const float* bias =
             op.p[5] >= 0 ? m->tensors[op.p[5]].data : nullptr;
         for (int o = 0; o < out_ch; ++o) out[o] = bias ? bias[o] : 0.f;
         for (int t = 0; t < k; ++t) {
-          const float* row = mem.data() + t * in_ch;
+          const float* row = mem.data() + t * dil * in_ch;
           const float* wt = w + static_cast<int64_t>(t) * in_ch * out_ch;
           for (int i = 0; i < in_ch; ++i) {
             const float v = row[i];
@@ -323,6 +342,50 @@ float mww_model_step(mww_model* m, const float* frames) {
           cur[o] = static_cast<float>(1.0 / (1.0 + std::exp(-acc)));
         }
         cur_len = out_dim;
+        break;
+      }
+      case kRestore: {
+        const auto& slot = m->res_slots[op.p[1]];
+        std::memcpy(cur.data(), slot.data(), sizeof(float) * op.p[0]);
+        cur_len = op.p[0];
+        break;
+      }
+      case kConcat: {
+        const int c1 = op.p[0], c2 = op.p[2], c3 = op.p[4];
+        const auto& s1 = m->res_slots[op.p[1]];
+        const auto& s2 = m->res_slots[op.p[3]];
+        // cur currently holds branch 3; shift it right, prepend s1+s2.
+        std::memmove(cur.data() + c1 + c2, cur.data(), sizeof(float) * c3);
+        std::memcpy(cur.data(), s1.data(), sizeof(float) * c1);
+        std::memcpy(cur.data() + c1, s2.data(), sizeof(float) * c2);
+        cur_len = c1 + c2 + c3;
+        break;
+      }
+      case kSpAttn: {
+        // CBAM gate (models/mixednet.py SpatialAttention, streaming mode):
+        // pooled = (mean, max) over channels; conv width k over the pooled
+        // ring; newest frame scaled by sigmoid(att).
+        const int ch = op.p[0];
+        const float* w = m->tensors[op.p[2]].data;  // [k, 2]
+        float mean = 0.f, mx = -1e30f;
+        for (int c = 0; c < ch; ++c) {
+          mean += cur[c];
+          mx = std::max(mx, cur[c]);
+        }
+        mean /= ch;
+        double att = 0.0;
+        const int ring = op.ring_rows;  // k-1 pooled rows
+        for (int t = 0; t < ring; ++t)
+          att += w[t * 2] * op.ring[t * 2] + w[t * 2 + 1] * op.ring[t * 2 + 1];
+        att += w[ring * 2] * mean + w[ring * 2 + 1] * mx;
+        if (ring > 0) {
+          std::memmove(op.ring.data(), op.ring.data() + 2,
+                       sizeof(float) * 2 * (ring - 1));
+          op.ring[2 * (ring - 1)] = mean;
+          op.ring[2 * (ring - 1) + 1] = mx;
+        }
+        const float gate = static_cast<float>(1.0 / (1.0 + std::exp(-att)));
+        for (int c = 0; c < ch; ++c) cur[c] *= gate;
         break;
       }
       default:

@@ -138,3 +138,65 @@ def test_model_native_backend(tmp_path):
     b = m_jax.predict_clip(pcm)
     assert a.shape == b.shape
     np.testing.assert_allclose(a, b, atol=2e-3)
+
+
+def test_native_runtime_spatial_attention(tmp_path):
+    """SPATTN op matches the JAX streaming SpatialAttention gate."""
+    cfg = MixedNetConfig(
+        pointwise_filters=(8,),
+        repeat_in_block=(1,),
+        mixconv_kernel_sizes=((5,),),
+        residual_connection=(False,),
+        first_conv_filters=8,
+        first_conv_kernel_size=3,
+        stride=1,
+        pooled=True,
+        spatial_attention=True,
+        spectrogram_length=30,
+    )
+    bundle, variables = _bundle(cfg)
+    path = str(tmp_path / "sa.mww")
+    from microwakeword_tpu.export.native_runtime import export_model
+
+    export_model(bundle, variables, path)
+    rt = native.StreamingRuntime(path)
+    rng = np.random.default_rng(3)
+    spec = rng.uniform(0, 26, (50, 40)).astype(np.float32)
+    want = np.asarray(bundle.stream_scan(variables, spec[None])).reshape(-1)
+    got = rt.predict_spectrogram(spec)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_native_runtime_inception(tmp_path):
+    """Inception export runs in the C++ runtime with stream parity."""
+    from microwakeword_tpu.export.native_runtime import export_model
+    from microwakeword_tpu.models.inception import InceptionConfig
+
+    cfg = InceptionConfig(
+        cnn1_filters=(8,),
+        cnn1_kernel_sizes=(3,),
+        cnn1_subspectral_groups=(4,),
+        cnn2_filters1=(6, 8),
+        cnn2_filters2=(8, 12),
+        cnn2_kernel_sizes=(3, 5),
+        cnn2_subspectral_groups=(1, 2),
+        cnn2_dilation=(1, 2),
+        spectrogram_length=60,
+    )
+    bundle = build_model("inception", cfg)
+    variables = bundle.init(jax.random.PRNGKey(0))
+    variables["batch_stats"] = jax.tree.map(
+        lambda x: x + np.float32(0.05), variables["batch_stats"]
+    )
+    path = str(tmp_path / "inc.mww")
+    export_model(bundle, variables, path)
+    rt = native.StreamingRuntime(path)
+    rng = np.random.default_rng(4)
+    spec = rng.uniform(0, 26, (90, 40)).astype(np.float32)
+    want = np.asarray(bundle.stream_scan(variables, spec[None])).reshape(-1)
+    got = rt.predict_spectrogram(spec)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+    rt.reset()
+    np.testing.assert_array_equal(got, rt.predict_spectrogram(spec))
