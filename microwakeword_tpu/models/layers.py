@@ -263,6 +263,99 @@ class PointwiseConv(nn.Module):
         return y
 
 
+class StreamAveragePooling(nn.Module):
+    """Streamable average pooling over time (reference
+    layers/average_pooling2d.py:62-84, there expressed as a fixed-weight
+    depthwise conv so the Stream wrapper can ring-buffer it).
+
+    Here the 1/k weights are a compile-time constant rather than a
+    trainable variable -- the reference's ``add_weight`` without
+    ``trainable=False`` (a latent bug, SURVEY.md §8.4) is deliberately not
+    reproduced.
+    """
+
+    kernel_size: int
+    stride: int = 1
+    streaming: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        channels = x.shape[-1]
+        if self.streaming:
+            ring = conv_ring_size(self.kernel_size, self.stride)
+            if ring > 0:
+                buf = self.variable(
+                    "cache",
+                    "ring",
+                    lambda: jnp.zeros((x.shape[0], ring, channels), x.dtype),
+                )
+                x = jnp.concatenate([buf.value, x], axis=1)
+                buf.value = x[:, -ring:]
+        kernel = jnp.full(
+            (self.kernel_size, 1, channels), 1.0 / self.kernel_size, x.dtype
+        )
+        return jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(self.stride,),
+            padding="VALID",
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            feature_group_count=channels,
+        )
+
+
+class StreamConvTranspose(nn.Module):
+    """Transposed 1D conv over time with overlap-add streaming state
+    (reference stream.py:184, 522-564).
+
+    Non-streaming: full transposed conv, output length (T-1)*stride + k.
+    Streaming: each step of m frames emits m*stride frames; the trailing
+    ``k - stride`` frames of partial sums are carried as state and
+    overlap-added into the next step.  The streamed concatenation equals
+    the first T*stride frames of the non-streaming output.  Bias is added
+    per *emitted* frame (the reference instead subtracts the bias from the
+    carried remainder, stream.py:549-556 -- same result).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    use_bias: bool = False
+    streaming: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel", KERNEL_INIT, (self.kernel_size, self.features, in_features)
+        )
+        y = jax.lax.conv_transpose(
+            x,
+            kernel,
+            strides=(self.stride,),
+            padding="VALID",
+            dimension_numbers=("NHC", "HOI", "NHC"),
+            transpose_kernel=True,
+        )
+        if self.streaming:
+            remainder = max(self.kernel_size - self.stride, 0)
+            if remainder > 0:
+                buf = self.variable(
+                    "cache",
+                    "ring",
+                    lambda: jnp.zeros(
+                        (x.shape[0], remainder, self.features), x.dtype
+                    ),
+                )
+                y = y.at[:, :remainder].add(buf.value)
+                emit = x.shape[1] * self.stride
+                buf.value = y[:, emit:]
+                y = y[:, :emit]
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+        return y
+
+
 def align_time(residual: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     """Drop leading frames so ``residual`` matches ``target``'s time length.
 
