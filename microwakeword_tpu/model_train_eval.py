@@ -105,6 +105,10 @@ def main(argv=None):
     parser.add_argument("--export_native", type=int, default=1,
                         help="Export train_dir/native/model.mww for the C++ "
                              "streaming runtime (native/src/mww_runtime.cc)")
+    parser.add_argument("--mesh", type=str, default="auto",
+                        help="'auto' (DP over all visible devices when >1 "
+                             "and batch_size divides), 'off', or an explicit "
+                             "device count")
     sub = parser.add_subparsers(dest="model_name", required=True)
     add_mixednet_flags(sub.add_parser("mixednet"))
     add_inception_flags(sub.add_parser("inception"))
@@ -122,6 +126,22 @@ def main(argv=None):
 
     feature_handler = FeatureHandler(config)
 
+    # Production mesh: DP over every visible chip (jax.distributed is
+    # initialized by the pod launcher on multi-host; single host this is
+    # the local devices).  The reference is single-process (train.py:295).
+    from microwakeword_tpu.parallel import auto_mesh, create_mesh
+    from microwakeword_tpu.parallel.mesh import initialize_distributed
+
+    initialize_distributed()
+    if flags.mesh == "off":
+        mesh = None
+    elif flags.mesh == "auto":
+        mesh = auto_mesh(int(config.get("batch_size", 128)))
+    else:
+        mesh = create_mesh(int(flags.mesh))
+    if mesh is not None:
+        print(f"mesh: {mesh.shape}")
+
     train_dir = config["train_dir"]
     if flags.train:
         os.makedirs(train_dir, exist_ok=True)
@@ -131,6 +151,7 @@ def main(argv=None):
         variables, _ = training.train(
             bundle, config, feature_handler,
             restore_checkpoint=bool(flags.restore_checkpoint),
+            mesh=mesh,
         )
     elif not os.path.isdir(train_dir):
         raise ValueError('model is not trained; set "--train 1" and retrain')
@@ -145,6 +166,7 @@ def main(argv=None):
             bundle, variables, feature_handler, config,
             folder=os.path.join(train_dir, "streaming"),
             accuracy_name="streaming_roc.txt",
+            mesh=mesh,
         )
         print(f"streaming ROC AUC: {result['auc']:.5f}")
 

@@ -34,6 +34,22 @@ def create_mesh(
     return Mesh(dev_array, axis_names)
 
 
+def auto_mesh(batch_size: int, min_devices: int = 2) -> Mesh | None:
+    """Builds the production DP mesh when it makes sense, else None.
+
+    Uses the largest device count <= len(jax.devices()) that divides
+    batch_size (the sharded step requires divisibility); returns None when
+    that count is below ``min_devices`` (single-chip: plain jit is the same
+    program without partitioner overhead).
+    """
+    n = len(jax.devices())
+    while n >= max(min_devices, 1) and batch_size % n:
+        n -= 1
+    if n < max(min_devices, 1):
+        return None
+    return create_mesh(n)
+
+
 def initialize_distributed() -> None:
     """Multi-host initialization (jax.distributed); no-op on single host.
 

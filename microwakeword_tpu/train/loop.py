@@ -87,6 +87,7 @@ def make_train_step(
     features_length: int,
     steps_per_call: int = 1,
     donate: bool = False,
+    mesh=None,
 ):
     """Builds the fused jitted train step.
 
@@ -98,7 +99,24 @@ def make_train_step(
     dispatch latency was a measurable cost on the TPU path); metrics are the
     last chunk step's.  donate=True donates params/batch_stats/opt_state
     buffers to avoid copies (caller must rebind).
+
+    mesh (jax.sharding.Mesh with a 'data' axis) turns the step into the
+    data-parallel SPMD program: the sampled batch is shard-constrained over
+    'data', parameters/optimizer state stay replicated, and XLA inserts the
+    gradient all-reduce over ICI.  Numerics match the unsharded step
+    bit-for-bit up to reduction order (tests/test_parallel.py).
     """
+    batch_sharding = replicated = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if batch_size % mesh.shape["data"]:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by data axis "
+                f"{mesh.shape['data']}"
+            )
+        batch_sharding = NamedSharding(mesh, P("data"))
+        replicated = NamedSharding(mesh, P())
     optimizer = optax.inject_hyperparams(optax.adam)(
         learning_rate=0.001, eps=1e-7  # keras Adam epsilon
     )
@@ -139,6 +157,10 @@ def make_train_step(
             freq_mask_max_size=freq_mask_max_size,
             freq_mask_count=freq_mask_count,
         )
+        if batch_sharding is not None:
+            feats = jax.lax.with_sharding_constraint(feats, batch_sharding)
+            labels = jax.lax.with_sharding_constraint(labels, batch_sharding)
+            penalties = jax.lax.with_sharding_constraint(penalties, batch_sharding)
         class_w = jnp.where(labels > 0.5, positive_class_weight, negative_class_weight)
         weights = penalties * class_w
         (loss, (probs, new_stats)), grads = jax.value_and_grad(
@@ -182,16 +204,37 @@ def make_train_step(
             "freq_mask_count",
         ),
         donate_argnums=(0, 1, 2) if donate else (),
+        out_shardings=(
+            (replicated, replicated, replicated, replicated)
+            if replicated is not None
+            else None
+        ),
     )
     return optimizer, jitted
 
 
-def make_eval_fn(bundle, eval_batch: int = 1024):
-    """Chunked jitted inference over a fixed batch size (padded)."""
+def make_eval_fn(bundle, eval_batch: int = 1024, mesh=None):
+    """Chunked jitted inference over a fixed batch size (padded).
+
+    With ``mesh``, the batch dim is sharded over the 'data' axis (params
+    replicated) so validation rides all chips.
+    """
+    shardings = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n = mesh.shape["data"]
+        eval_batch = -(-eval_batch // n) * n  # round up to a multiple
+        repl = NamedSharding(mesh, P())
+        shardings = dict(
+            in_shardings=(repl, repl, NamedSharding(mesh, P("data"))),
+            out_shardings=repl,
+        )
     forward = jax.jit(
         lambda params, batch_stats, x: bundle.module.apply(
             {"params": params, "batch_stats": batch_stats}, x, train=False
-        )
+        ),
+        **shardings,
     )
 
     def eval_probs(params, batch_stats, x: np.ndarray) -> np.ndarray:
@@ -222,13 +265,26 @@ def _load(path: str, template):
         return flax.serialization.from_bytes(template, f.read())
 
 
-def train(bundle, config: dict, feature_handler, restore_checkpoint: bool = False):
+def train(
+    bundle,
+    config: dict,
+    feature_handler,
+    restore_checkpoint: bool = False,
+    mesh=None,
+):
     """Trains a model; returns (variables, history).
 
     config keys follow the reference YAML schema (SURVEY.md §5 config):
     training_steps, learning_rates, *_mask_*, positive/negative_class_weight,
     batch_size, spectrogram_length, eval_step_interval, train_dir,
     minimization_metric, maximization_metric, target_minimization.
+
+    mesh: optional jax.sharding.Mesh with a 'data' axis.  When given, the
+    production loop runs data-parallel: each host packs its shard of the
+    corpus (pack_training defaults to jax.process_index()), the fused train
+    step shards the batch over 'data', and validation inference is sharded
+    too.  The reference has no equivalent (single-process Keras,
+    train.py:295-299).
     """
     train_dir = config["train_dir"]
     os.makedirs(train_dir, exist_ok=True)
@@ -243,17 +299,28 @@ def train(bundle, config: dict, feature_handler, restore_checkpoint: bool = Fals
     params, batch_stats = variables["params"], variables["batch_stats"]
 
     packed = feature_handler.pack_training()
+    if mesh is not None:
+        from microwakeword_tpu.parallel.train_step import replicate
+
+        packed = replicate(packed, mesh)
     optimizer, train_step = make_train_step(
-        bundle, packed, batch_size, features_length
+        bundle, packed, batch_size, features_length, mesh=mesh
     )
     steps_per_call = int(config.get("steps_per_call", 1))
     chunk_step = None
     if steps_per_call > 1:
         _, chunk_step = make_train_step(
-            bundle, packed, batch_size, features_length, steps_per_call=steps_per_call
+            bundle, packed, batch_size, features_length,
+            steps_per_call=steps_per_call, mesh=mesh,
         )
     opt_state = optimizer.init(params)
-    eval_probs = make_eval_fn(bundle)
+    eval_probs = make_eval_fn(bundle, mesh=mesh)
+    if mesh is not None:
+        from microwakeword_tpu.parallel.train_step import replicate
+
+        params = replicate(params, mesh)
+        batch_stats = replicate(batch_stats, mesh)
+        opt_state = replicate(opt_state, mesh)
 
     restored_from_step = 0
     ckpt_path = os.path.join(train_dir, "restore", "ckpt.msgpack")
@@ -270,6 +337,12 @@ def train(bundle, config: dict, feature_handler, restore_checkpoint: bool = Fals
         params = restored["params"]
         batch_stats = restored["batch_stats"]
         opt_state = restored["opt_state"]
+        if mesh is not None:
+            from microwakeword_tpu.parallel.train_step import replicate
+
+            params = replicate(params, mesh)
+            batch_stats = replicate(batch_stats, mesh)
+            opt_state = replicate(opt_state, mesh)
         # Reference-compatible resume (train.py:229-233, SURVEY.md §8.5):
         # weights+optimizer restore, but the *configured schedule restarts* --
         # the caller adjusts training_steps/learning_rates when resuming.

@@ -1,15 +1,26 @@
-"""Measures the reference implementation's training step throughput on this
-host's CPU (TensorFlow), using the notebook's flagship mixednet recipe on
-synthetic batches.  Writes tests/golden/reference_baseline.json.
+"""Measures the reference implementation's training throughput on this host
+(TensorFlow CPU), using the notebook's flagship mixednet recipe.
 
-This is generous to the reference: we time ONLY model.train_on_batch (its
-per-step Python data assembly, which SURVEY.md §3.1 identifies as a major
-cost, is excluded because mmap_ninja isn't installed here).
+Two numbers are recorded into tests/golden/reference_baseline.json:
+
+- "train_on_batch": model.train_on_batch only, synthetic batches (generous
+  to the reference -- no data assembly).
+- "end_to_end": the reference's REAL hot loop (train.py:249-299) -- per-step
+  Python batch assembly through its own FeatureHandler.get_data (weighted
+  random.choices provider sampling, per-sample mmap reads, pad/truncate,
+  numpy SpecAugment; data.py:497-597) followed by train_on_batch.
+
+mmap_ninja is not installed in this image, so a faithful in-process shim of
+RaggedMmap (np.memmap-backed, zero-copy slice views -- the same access
+semantics) is registered before importing the reference's data module; the
+shim's read path is a memmap slice per __getitem__, so the measured cost is
+the reference's Python loop, not the shim.
 """
 import argparse
 import json
 import os
 import sys
+import tempfile
 import time
 import types
 
@@ -17,17 +28,70 @@ import numpy as np
 
 sys.path.insert(0, "/root/reference")
 
+
+# --- mmap_ninja shim (registered before the reference's data.py import) ----
+class _RaggedMmapShim:
+    """API-compatible subset of mmap_ninja.ragged.RaggedMmap."""
+
+    def __init__(self, path):
+        self._data = np.lib.format.open_memmap(
+            os.path.join(path, "data.npy"), mode="r"
+        )
+        self._offsets = np.load(os.path.join(path, "offsets.npy"))
+
+    def __len__(self):
+        return len(self._offsets) - 1
+
+    def __getitem__(self, i):
+        return self._data[self._offsets[i] : self._offsets[i + 1]]
+
+    @staticmethod
+    def create(path, arrays):
+        os.makedirs(path, exist_ok=True)
+        flat = np.concatenate(arrays, axis=0)
+        offsets = np.concatenate(
+            [[0], np.cumsum([a.shape[0] for a in arrays])]
+        ).astype(np.int64)
+        np.save(os.path.join(path, "data.npy"), flat)
+        np.save(os.path.join(path, "offsets.npy"), offsets)
+
+
+_ragged_mod = types.ModuleType("mmap_ninja.ragged")
+_ragged_mod.RaggedMmap = _RaggedMmapShim
+_pkg = types.ModuleType("mmap_ninja")
+_pkg.ragged = _ragged_mod
+sys.modules.setdefault("mmap_ninja", _pkg)
+sys.modules.setdefault("mmap_ninja.ragged", _ragged_mod)
+
+# The reference's data.py transitively imports its offline audio stack
+# (clips/augmentation), whose deps aren't installed here.  They are never
+# touched on the MmapFeatureGenerator path we measure; stub just enough for
+# the imports to resolve.
+for _name, _attrs in [
+    ("audio_metadata", ["load", "UnsupportedFormat"]),
+    ("datasets", ["Dataset", "Audio"]),
+    ("webrtcvad", ["Vad"]),
+    ("audiomentations", [
+        "Compose", "AddBackgroundNoise", "AddColorNoise", "Aliasing",
+        "ApplyImpulseResponse", "BandStopFilter", "Gain", "GainTransition",
+        "Normalize", "PitchShift", "RepeatPart", "SevenBandParametricEQ",
+        "TanhDistortion",
+    ]),
+    ("pymicro_features", ["MicroFrontend"]),
+]:
+    if _name not in sys.modules:
+        _m = types.ModuleType(_name)
+        for _a in _attrs:
+            setattr(_m, _a, type(_a, (), {}))
+        sys.modules[_name] = _m
+
 import tensorflow as tf  # noqa: E402
 
 from microwakeword import mixednet  # noqa: E402
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=20)
-    args = ap.parse_args()
-
-    flags = types.SimpleNamespace(
+def flagship_flags():
+    return types.SimpleNamespace(
         pointwise_filters="64,64,64,64",
         repeat_in_block="1, 1, 1, 1",
         mixconv_kernel_sizes="[5], [7,11], [9,15], [23]",
@@ -39,48 +103,188 @@ def main():
         pooled=0,
         stride=3,
     )
+
+
+def build_model(spectrogram_length, batch):
+    flags = flagship_flags()
+    model = mixednet.model(flags, (spectrogram_length, 40), batch)
+    model.compile(
+        optimizer=tf.keras.optimizers.Adam(),
+        loss=tf.keras.losses.BinaryCrossentropy(from_logits=False),
+    )
+    # match the reference's un-decorated train_function (train.py:225-227)
+    from tensorflow.python.util import tf_decorator
+
+    model.make_train_function()
+    _, model.train_function = tf_decorator.unwrap(model.train_function)
+    return model
+
+
+def _median_chunk_time(fn, steps, chunks=5):
+    """Median of per-chunk mean step times (host contention robustness)."""
+    per_chunk = max(1, steps // chunks)
+    times = []
+    for _ in range(chunks):
+        t0 = time.perf_counter()
+        for _ in range(per_chunk):
+            fn()
+        times.append((time.perf_counter() - t0) / per_chunk)
+    return float(np.median(times))
+
+
+def measure_train_on_batch(model, spectrogram_length, batch, steps):
+    x = np.random.uniform(0, 26, (batch, spectrogram_length, 40)).astype(np.float32)
+    y = np.random.randint(0, 2, (batch, 1)).astype(np.float32)
+    w = np.ones((batch, 1), np.float32)
+    for _ in range(3):
+        model.train_on_batch(x, y, sample_weight=w)
+    dt = _median_chunk_time(
+        lambda: model.train_on_batch(x, y, sample_weight=w), steps
+    )
+    return {
+        "what": "reference mixednet train_on_batch only (no data assembly)",
+        "step_seconds": dt,
+        "steps_per_sec": 1.0 / dt,
+        "audio_seconds_per_sec": batch * spectrogram_length * 0.010 / dt,
+    }
+
+
+def build_reference_dataset(root, spectrogram_length, n_train=2000):
+    """Synthetic ragged stores in the reference's expected layout."""
+    rng = np.random.default_rng(0)
+
+    def specs(n, lo, hi):
+        return [
+            rng.uniform(0, 660, (int(rng.integers(lo, hi)), 40)).astype(np.uint16)
+            for _ in range(n)
+        ]
+
+    lo, hi = spectrogram_length - 40, spectrogram_length + 120
+    for name in ("positive", "negative"):
+        d = os.path.join(root, name, "training")
+        _RaggedMmapShim.create(os.path.join(d, "w_mmap"), specs(n_train // 2, lo, hi))
+        d = os.path.join(root, name, "validation")
+        _RaggedMmapShim.create(os.path.join(d, "w_mmap"), specs(50, lo, hi))
+    for mode in ("validation_ambient", "testing", "testing_ambient"):
+        d = os.path.join(root, "negative", mode)
+        _RaggedMmapShim.create(os.path.join(d, "a_mmap"), specs(2, 1000, 1500))
+    return {
+        "features": [
+            {
+                "features_dir": os.path.join(root, "positive"),
+                "truth": True,
+                "sampling_weight": 2.0,
+                "penalty_weight": 1.0,
+                "truncation_strategy": "truncate_start",
+                "type": "mmap",
+            },
+            {
+                "features_dir": os.path.join(root, "negative"),
+                "truth": False,
+                "sampling_weight": 1.0,
+                "penalty_weight": 1.0,
+                "truncation_strategy": "random",
+                "type": "mmap",
+            },
+        ],
+    }
+
+
+def measure_end_to_end(model, spectrogram_length, batch, steps):
+    """The real reference hot loop: get_data + weights + train_on_batch
+    (train.py:249-299), with the notebook recipe's SpecAugment policy."""
+    from microwakeword.data import FeatureHandler
+
+    with tempfile.TemporaryDirectory() as tmp:
+        config = build_reference_dataset(tmp, spectrogram_length)
+        config.update({"stride": 3, "window_step_ms": 10, "batch_size": batch})
+        data_processor = FeatureHandler(config)
+
+        augmentation_policy = {
+            "mix_up_prob": 0.0,
+            "freq_mix_prob": 0.0,
+            "time_mask_max_size": 5,
+            "time_mask_count": 2,
+            "freq_mask_max_size": 5,
+            "freq_mask_count": 2,
+        }
+        class_weights = {0: 20.0, 1: 1.0}
+
+        def one_step():
+            x, y, w = data_processor.get_data(
+                "training",
+                batch_size=batch,
+                features_length=spectrogram_length,
+                truncation_strategy="default",
+                augmentation_policy=augmentation_policy,
+            )
+            y = y.reshape(-1, 1)
+            combined = w * np.vectorize(class_weights.get)(y)
+            model.train_on_batch(x, y, sample_weight=combined)
+
+        data_t0 = time.perf_counter()
+        for _ in range(3):
+            data_processor.get_data(
+                "training",
+                batch_size=batch,
+                features_length=spectrogram_length,
+                truncation_strategy="default",
+                augmentation_policy=augmentation_policy,
+            )
+        data_seconds = (time.perf_counter() - data_t0) / 3
+
+        for _ in range(2):
+            one_step()
+        dt = _median_chunk_time(one_step, steps)
+    return {
+        "what": (
+            "reference full hot loop: FeatureHandler.get_data (weighted "
+            "sampling + mmap reads + SpecAugment) + train_on_batch "
+            "(train.py:249-299)"
+        ),
+        "step_seconds": dt,
+        "data_assembly_seconds": data_seconds,
+        "steps_per_sec": 1.0 / dt,
+        "audio_seconds_per_sec": batch * spectrogram_length * 0.010 / dt,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=20)
+    args = ap.parse_args()
+
+    flags = flagship_flags()
     dropped = mixednet.spectrogram_slices_dropped(flags)
     final = 1 + (16 * 1500 - 480) // (3 * 16 * 10)
     spectrogram_length = final + dropped
     print(f"spectrogram_length={spectrogram_length} (final={final}, dropped={dropped})")
 
     batch = 128
-    model = mixednet.model(flags, (spectrogram_length, 40), batch)
-    model.compile(
-        optimizer=tf.keras.optimizers.Adam(),
-        loss=tf.keras.losses.BinaryCrossentropy(from_logits=False),
-    )
-    x = np.random.uniform(0, 26, (batch, spectrogram_length, 40)).astype(np.float32)
-    y = np.random.randint(0, 2, (batch, 1)).astype(np.float32)
-    w = np.ones((batch, 1), np.float32)
+    model = build_model(spectrogram_length, batch)
+    tob = measure_train_on_batch(model, spectrogram_length, batch, args.steps)
+    print("train_on_batch:", json.dumps(tob))
+    e2e = measure_end_to_end(model, spectrogram_length, batch, args.steps)
+    print("end_to_end:", json.dumps(e2e))
 
-    # match the reference's un-decorated train_function (train.py:225-227)
-    from tensorflow.python.util import tf_decorator
-
-    model.make_train_function()
-    _, model.train_function = tf_decorator.unwrap(model.train_function)
-
-    for _ in range(3):
-        model.train_on_batch(x, y, sample_weight=w)
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        model.train_on_batch(x, y, sample_weight=w)
-    dt = (time.perf_counter() - t0) / args.steps
-    audio_seconds_per_batch = batch * spectrogram_length * 0.010
     result = {
         "hardware": "host CPU (TF 2.21, oneDNN)",
-        "what": "reference mixednet train_on_batch only (no data assembly)",
         "batch": batch,
         "spectrogram_length": spectrogram_length,
-        "step_seconds": dt,
-        "steps_per_sec": 1.0 / dt,
-        "audio_seconds_per_sec": audio_seconds_per_batch / dt,
+        # legacy top-level fields = train_on_batch (what bench.py's
+        # vs_baseline has always divided by)
+        "what": tob["what"],
+        "step_seconds": tob["step_seconds"],
+        "steps_per_sec": tob["steps_per_sec"],
+        "audio_seconds_per_sec": tob["audio_seconds_per_sec"],
+        "train_on_batch": tob,
+        "end_to_end": e2e,
     }
-    print(json.dumps(result, indent=2))
     out = os.path.join(os.path.dirname(__file__), "..", "tests", "golden",
                        "reference_baseline.json")
     with open(out, "w") as f:
         json.dump(result, f, indent=2)
+    print(f"wrote {os.path.normpath(out)}")
 
 
 if __name__ == "__main__":

@@ -128,6 +128,66 @@ def test_sharded_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_production_train_mesh_matches_single_device(tmp_path):
+    """The full production train() (packing, fused step, validation, best
+    selection) over the 8-device mesh must match the unsharded run with the
+    same seeds (VERDICT r1 item 1)."""
+    from tests.test_train import _synthetic_dataset
+    from microwakeword_tpu.data.store import FeatureHandler
+    from microwakeword_tpu.train import loop as T
+
+    config = _synthetic_dataset(tmp_path, n_train=24)
+    config.update(
+        {
+            "batch_size": 16,
+            "spectrogram_length": 25,
+            "training_steps": [8],
+            "learning_rates": [0.01],
+            "eval_step_interval": 4,
+            "minimization_metric": "ambient_false_positives_per_hour",
+            "maximization_metric": "average_viable_recall",
+            "target_minimization": 0.5,
+        }
+    )
+    cfg = MixedNetConfig(
+        pointwise_filters=(8,),
+        repeat_in_block=(1,),
+        mixconv_kernel_sizes=((3,),),
+        residual_connection=(False,),
+        first_conv_filters=4,
+        first_conv_kernel_size=3,
+        spectrogram_length=25,
+    )
+    bundle = build_model("mixednet", cfg)
+    fh = FeatureHandler(config)
+
+    config_a = dict(config, train_dir=str(tmp_path / "run_1dev"))
+    v1, h1 = T.train(bundle, config_a, fh)
+    config_b = dict(config, train_dir=str(tmp_path / "run_dp8"))
+    v8, h8 = T.train(bundle, config_b, fh, mesh=create_mesh())
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(v1["params"]),
+        jax.tree_util.tree_leaves(v8["params"]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    # validation metric math identical too
+    assert h1[-1]["validation"].keys() == h8[-1]["validation"].keys()
+    np.testing.assert_allclose(
+        h1[-1]["validation"]["recall"], h8[-1]["validation"]["recall"], atol=1e-6
+    )
+
+
+def test_auto_mesh_divisibility():
+    from microwakeword_tpu.parallel import auto_mesh
+
+    m = auto_mesh(16)
+    assert m is not None and m.shape["data"] == 8
+    m = auto_mesh(12)  # 8 does not divide 12 -> falls back to 6 devices
+    assert m is not None and m.shape["data"] == 6
+    assert auto_mesh(1) is None
+
+
 def test_sharded_streaming_eval_matches_per_track():
     """batched_track_probs (tracks sharded over the mesh) == per-track
     stream_scan, including padding/bucketing edge cases."""
