@@ -3,50 +3,56 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "audio_seconds_per_sec", "vs_baseline": N, ...}
 
-- train: fused train step (on-device sampling + SpecAugment + fwd/bwd +
-  Adam) on the flagship okay_nabu-style MixedNet (notebook recipe: batch
-  128, 204x40 spectrograms = 2.04 s audio each).
-- frontend: batched 16 kHz PCM -> 40-mel features pipeline.
-- headline value: serial pipeline rate 1/(1/frontend + 1/train), i.e. the
-  sustained audio-seconds/s if every training sample's features were also
-  computed on-chip.
+- headline value: the MEASURED fused pipeline -- one jitted program per step
+  chunk that samples raw 16 kHz PCM windows from the HBM-resident corpus,
+  computes the micro-frontend (MXU DFT/mel + associative-scan AGC), applies
+  SpecAugment, and runs fwd/bwd/Adam on the flagship okay_nabu-style
+  MixedNet (notebook recipe: batch 128, 194-frame windows = 1.94 s audio).
+- train: the precomputed-spectrogram step (reference's normal mode).
+- frontend: standalone batched PCM->features, XLA and Pallas backends.
+- dp8_virtual_scaling: fused-step throughput ratio 8-device mesh vs 1
+  device on a virtual CPU mesh (subprocess; single real chip available).
 
-vs_baseline divides the headline by the measured reference throughput on
-this host (tests/golden/reference_baseline.json: reference mixednet
-train_on_batch ONLY -- its Python per-step data assembly is excluded, which
-is generous to the reference).
+vs_baseline divides the headline by the reference's measured END-TO-END hot
+loop on this host (tests/golden/reference_baseline.json "end_to_end":
+FeatureHandler.get_data batch assembly + train_on_batch, train.py:249-299).
+vs_baseline_train_on_batch uses the assembly-free number (generous to the
+reference).
 """
 
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 
-def measure_train(steps: int, batch: int):
+def _flagship_model():
     import jax
-    import jax.numpy as jnp
 
-    from microwakeword_tpu.data import sampler as S
     from microwakeword_tpu.models import build_model
     from microwakeword_tpu.models.presets import flagship_config
-    from microwakeword_tpu.train.loop import make_train_step
 
     cfg = flagship_config()
     bundle = build_model("mixednet", cfg)
     variables = bundle.init(jax.random.PRNGKey(0))
+    return cfg, bundle, variables
 
-    # Synthetic packed corpus ~ 1h of spectrograms.
-    rng = np.random.default_rng(0)
-    n_clips = 1500
+
+def _synthetic_packed(cfg, n_clips=1500, seed=0):
+    import jax.numpy as jnp
+
+    from microwakeword_tpu.data import sampler as S
+
+    rng = np.random.default_rng(seed)
     lengths = rng.integers(cfg.spectrogram_length, cfg.spectrogram_length + 120, n_clips)
     frames = rng.uniform(0, 660, (int(lengths.sum()), 40)).astype(np.uint16)
     offsets = np.concatenate([[0], np.cumsum(lengths)])[:-1]
     half = n_clips // 2
-    packed = S.PackedTrainingData(
+    return S.PackedTrainingData(
         frames=jnp.asarray(frames),
         clip_offset=jnp.asarray(offsets.astype(np.int32)),
         clip_length=jnp.asarray(lengths.astype(np.int32)),
@@ -59,44 +65,99 @@ def measure_train(steps: int, batch: int):
         provider_cutoffs=jnp.zeros((2, S.MAX_CUTOFFS), jnp.int32),
         provider_n_cutoffs=jnp.asarray([1, 1], jnp.int32),
     )
-    # Chained steps (train/loop.py steps_per_call): one XLA dispatch per
-    # chunk, the way production configs run the hot loop.
-    chunk = 100
-    optimizer, step = make_train_step(
-        bundle, packed, batch, cfg.spectrogram_length, steps_per_call=chunk
-    )
-    opt_state = optimizer.init(variables["params"])
-    params, batch_stats = variables["params"], variables["batch_stats"]
 
-    kw = dict(
-        learning_rate=0.001,
-        time_mask_max_size=5,
-        time_mask_count=2,
-        freq_mask_max_size=5,
-        freq_mask_count=2,
-        positive_class_weight=1.0,
-        negative_class_weight=20.0,
+
+def _synthetic_packed_audio(cfg, n_clips=600, seed=0):
+    """~25 min of raw 16 kHz audio resident in HBM (int16 chunks)."""
+    import jax.numpy as jnp
+
+    from microwakeword_tpu.data import sampler as S
+
+    rng = np.random.default_rng(seed)
+    window_chunks = cfg.spectrogram_length + S.WINDOW_CHUNKS - 1
+    counts = rng.integers(window_chunks, window_chunks + 120, n_clips).astype(np.int64)
+    total = int(counts.sum())
+    chunks = rng.integers(-8000, 8000, (total, S.HOP_SAMPLES)).astype(np.int16)
+    offsets = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    half = n_clips // 2
+    return S.PackedAudioData(
+        chunks=jnp.asarray(chunks),
+        clip_offset=jnp.asarray(offsets.astype(np.int32)),
+        clip_chunks=jnp.asarray(counts.astype(np.int32)),
+        provider_logits=jnp.asarray([np.log(2.0), 0.0], jnp.float32),
+        provider_clip_start=jnp.asarray([0, half], jnp.int32),
+        provider_clip_count=jnp.asarray([half, n_clips - half], jnp.int32),
+        provider_label=jnp.asarray([1.0, 0.0], jnp.float32),
+        provider_penalty=jnp.asarray([1.0, 1.0], jnp.float32),
+        provider_strategy=jnp.asarray([1, 0], jnp.int32),
     )
-    # warmup/compile
+
+
+_PHASE_KW = dict(
+    learning_rate=0.001,
+    time_mask_max_size=5,
+    time_mask_count=2,
+    freq_mask_max_size=5,
+    freq_mask_count=2,
+    positive_class_weight=1.0,
+    negative_class_weight=20.0,
+)
+
+
+def _run_train_loop(bundle, variables, packed, cfg, steps, batch, chunk=100, mesh=None):
+    """Times the fused step (precomputed features OR raw audio, by packed
+    type) chained `chunk` steps per XLA call.  Returns seconds/step."""
+    import jax
+
+    from microwakeword_tpu.train.loop import make_train_step
+
+    optimizer, step = make_train_step(
+        bundle, packed, batch, cfg.spectrogram_length, steps_per_call=chunk,
+        mesh=mesh,
+    )
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    opt_state = optimizer.init(params)
+    if mesh is not None:
+        from microwakeword_tpu.parallel import replicate
+
+        params = replicate(params, mesh)
+        batch_stats = replicate(batch_stats, mesh)
+        opt_state = replicate(opt_state, mesh)
     for i in range(2):
         params, batch_stats, opt_state, m = step(
-            params, batch_stats, opt_state, jax.random.PRNGKey(i), **kw
+            params, batch_stats, opt_state, jax.random.PRNGKey(i), **_PHASE_KW
         )
     jax.block_until_ready(params)
     n_calls = max(1, steps // chunk)
     t0 = time.perf_counter()
     for i in range(n_calls):
         params, batch_stats, opt_state, m = step(
-            params, batch_stats, opt_state, jax.random.PRNGKey(100 + i), **kw
+            params, batch_stats, opt_state, jax.random.PRNGKey(100 + i), **_PHASE_KW
         )
     jax.block_until_ready(params)
-    dt = (time.perf_counter() - t0) / (n_calls * chunk)
-    audio_s_per_batch = batch * cfg.spectrogram_length * 0.010
+    return (time.perf_counter() - t0) / (n_calls * chunk)
+
+
+def measure_train(steps: int, batch: int):
+    cfg, bundle, variables = _flagship_model()
+    dt = _run_train_loop(bundle, variables, _synthetic_packed(cfg), cfg, steps, batch)
     return {
         "steps_per_sec": 1.0 / dt,
-        "audio_seconds_per_sec": audio_s_per_batch / dt,
+        "audio_seconds_per_sec": batch * cfg.spectrogram_length * 0.010 / dt,
         "spectrogram_length": cfg.spectrogram_length,
         "batch": batch,
+    }
+
+
+def measure_fused_pipeline(steps: int, batch: int):
+    """The headline: raw PCM sampling + frontend + train in ONE program."""
+    cfg, bundle, variables = _flagship_model()
+    dt = _run_train_loop(
+        bundle, variables, _synthetic_packed_audio(cfg), cfg, steps, batch
+    )
+    return {
+        "steps_per_sec": 1.0 / dt,
+        "audio_seconds_per_sec": batch * cfg.spectrogram_length * 0.010 / dt,
     }
 
 
@@ -105,35 +166,13 @@ def measure_population(n_models: int, steps: int, batch: int):
     import jax
     import jax.numpy as jnp
 
-    from microwakeword_tpu.data import sampler as S
-    from microwakeword_tpu.models import build_model
-    from microwakeword_tpu.models.presets import flagship_config
     from microwakeword_tpu.parallel.population import (
         init_population,
         make_population_train_step,
     )
 
-    cfg = flagship_config()
-    bundle = build_model("mixednet", cfg)
-    rng = np.random.default_rng(0)
-    n_clips = 800
-    lengths = rng.integers(cfg.spectrogram_length, cfg.spectrogram_length + 60, n_clips)
-    frames = rng.uniform(0, 660, (int(lengths.sum()), 40)).astype(np.uint16)
-    offsets = np.concatenate([[0], np.cumsum(lengths)])[:-1]
-    half = n_clips // 2
-    packed = S.PackedTrainingData(
-        frames=jnp.asarray(frames),
-        clip_offset=jnp.asarray(offsets.astype(np.int32)),
-        clip_length=jnp.asarray(lengths.astype(np.int32)),
-        provider_logits=jnp.asarray([0.0, 0.0], jnp.float32),
-        provider_clip_start=jnp.asarray([0, half], jnp.int32),
-        provider_clip_count=jnp.asarray([half, n_clips - half], jnp.int32),
-        provider_label=jnp.asarray([1.0, 0.0], jnp.float32),
-        provider_penalty=jnp.asarray([1.0, 1.0], jnp.float32),
-        provider_strategy=jnp.asarray([1, 0], jnp.int32),
-        provider_cutoffs=jnp.zeros((2, S.MAX_CUTOFFS), jnp.int32),
-        provider_n_cutoffs=jnp.asarray([1, 1], jnp.int32),
-    )
+    cfg, bundle, _ = _flagship_model()
+    packed = _synthetic_packed(cfg, n_clips=800)
     variables = init_population(bundle, range(n_models))
     optimizer, step = make_population_train_step(
         bundle, packed, batch, cfg.spectrogram_length
@@ -161,7 +200,7 @@ def measure_population(n_models: int, steps: int, batch: int):
     }
 
 
-def measure_frontend(reps: int, batch: int = 64, clip_s: float = 3.0,
+def measure_frontend(reps: int, batch: int = 256, clip_s: float = 10.0,
                      backend: str = "xla"):
     import jax
     import jax.numpy as jnp
@@ -189,11 +228,62 @@ def measure_frontend(reps: int, batch: int = 64, clip_s: float = 3.0,
     }
 
 
+def measure_dp_virtual(n_devices: int, steps: int, batch: int):
+    """Fused-step throughput on an n_devices virtual CPU mesh (this entry
+    re-executes bench.py in a subprocess with forced host devices)."""
+    cmd = [
+        sys.executable, os.path.abspath(__file__),
+        "--dp-worker", str(n_devices), "--steps", str(steps),
+        "--batch", str(batch),
+    ]
+    env = dict(
+        os.environ,
+        XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
+                   + f" --xla_force_host_platform_device_count={n_devices}").strip(),
+    )
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=1200)
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def dp_worker(n_devices: int, steps: int, batch: int):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    assert len(jax.devices()) >= n_devices, (n_devices, jax.devices())
+    from microwakeword_tpu.parallel import create_mesh
+
+    mesh = create_mesh(n_devices) if n_devices > 1 else None
+    cfg, bundle, variables = _flagship_model()
+    packed = _synthetic_packed(cfg, n_clips=400)
+    if mesh is not None:
+        from microwakeword_tpu.parallel import replicate
+
+        packed = replicate(packed, mesh)
+    dt = _run_train_loop(
+        bundle, variables, packed, cfg, steps, batch, chunk=max(1, steps // 2),
+        mesh=mesh,
+    )
+    print(json.dumps({
+        "n_devices": n_devices,
+        "steps_per_sec": 1.0 / dt,
+        "audio_seconds_per_sec": batch * cfg.spectrogram_length * 0.010 / dt,
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="fewer reps")
     ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--dp-worker", type=int, default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--skip-dp", action="store_true",
+                    help="skip the virtual-mesh scaling subprocess")
     args = ap.parse_args()
+
+    if args.dp_worker is not None:
+        dp_worker(args.dp_worker, args.steps or 40, args.batch)
+        return
 
     import jax
 
@@ -204,15 +294,39 @@ def main():
         print(msg, file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
-    train = measure_train(steps, batch=128)
+    fused = measure_fused_pipeline(steps, batch=args.batch)
+    log(f"[bench] fused pipeline done {time.perf_counter()-t0:.0f}s")
+    train = measure_train(steps, batch=args.batch)
     log(f"[bench] train done {time.perf_counter()-t0:.0f}s")
-    frontend = measure_frontend(30 if args.quick else 100)
+    fe_reps = 10 if args.quick else 30
+    frontend_xla = measure_frontend(fe_reps, backend="xla")
+    frontend_pallas = None
+    if backend == "tpu":
+        try:
+            frontend_pallas = measure_frontend(fe_reps, backend="pallas")
+        except Exception as e:  # pragma: no cover
+            log(f"[bench] pallas frontend failed: {e}")
     log(f"[bench] frontend done {time.perf_counter()-t0:.0f}s")
-    sweep = measure_population(8, 15 if args.quick else 60, batch=128)
+    sweep = measure_population(8, 15 if args.quick else 60, batch=args.batch)
     log(f"[bench] sweep done {time.perf_counter()-t0:.0f}s")
 
-    fe, tr = frontend["audio_seconds_per_sec"], train["audio_seconds_per_sec"]
-    combined = 1.0 / (1.0 / fe + 1.0 / tr)
+    dp = None
+    if not args.skip_dp:
+        try:
+            dp1 = measure_dp_virtual(1, 30, args.batch)
+            dp8 = measure_dp_virtual(8, 30, args.batch)
+            dp = {
+                "virtual_cpu_1dev_audio_s_per_s": round(dp1["audio_seconds_per_sec"], 1),
+                "virtual_cpu_8dev_audio_s_per_s": round(dp8["audio_seconds_per_sec"], 1),
+                "scaling_8_vs_1": round(
+                    dp8["audio_seconds_per_sec"] / dp1["audio_seconds_per_sec"], 2
+                ),
+            }
+        except Exception as e:  # pragma: no cover
+            log(f"[bench] dp virtual scaling failed: {e}")
+        log(f"[bench] dp done {time.perf_counter()-t0:.0f}s")
+
+    headline = fused["audio_seconds_per_sec"]
 
     baseline_path = os.path.join(
         os.path.dirname(__file__), "tests", "golden", "reference_baseline.json"
@@ -221,22 +335,39 @@ def main():
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             baseline = json.load(f)
-    baseline_rate = baseline["audio_seconds_per_sec"] if baseline else 7229.0
+    e2e_rate = (baseline or {}).get("end_to_end", {}).get(
+        "audio_seconds_per_sec", 5418.0
+    )
+    tob_rate = (baseline or {}).get("audio_seconds_per_sec", 7641.0)
 
     result = {
-        "metric": "audio-seconds/s per chip (frontend+train), flagship MixedNet",
-        "value": round(combined, 1),
+        "metric": (
+            "audio-seconds/s per chip, fused raw-PCM->frontend->train "
+            "pipeline, flagship MixedNet"
+        ),
+        "value": round(headline, 1),
         "unit": "audio_seconds_per_sec",
-        "vs_baseline": round(combined / baseline_rate, 2),
+        "vs_baseline": round(headline / e2e_rate, 2),
+        "vs_baseline_train_on_batch": round(headline / tob_rate, 2),
         "backend": backend,
-        "train_audio_s_per_s": round(tr, 1),
+        "fused_steps_per_sec": round(fused["steps_per_sec"], 2),
+        "train_audio_s_per_s": round(train["audio_seconds_per_sec"], 1),
         "train_steps_per_sec": round(train["steps_per_sec"], 2),
-        "frontend_audio_s_per_s": round(fe, 1),
+        "frontend_xla_audio_s_per_s": round(frontend_xla["audio_seconds_per_sec"], 1),
+        "frontend_pallas_audio_s_per_s": (
+            round(frontend_pallas["audio_seconds_per_sec"], 1)
+            if frontend_pallas
+            else None
+        ),
         "sweep8_audio_s_per_s": round(sweep["audio_seconds_per_sec"], 1),
         "sweep8_model_steps_per_sec": round(sweep["model_steps_per_sec"], 1),
+        "dp_virtual": dp,
         "baseline": {
-            "audio_seconds_per_sec": baseline_rate,
-            "what": (baseline or {}).get("what", "estimate"),
+            "end_to_end_audio_seconds_per_sec": e2e_rate,
+            "train_on_batch_audio_seconds_per_sec": tob_rate,
+            "what": (baseline or {}).get("end_to_end", {}).get(
+                "what", "reference end-to-end estimate"
+            ),
         },
     }
     print(json.dumps(result))

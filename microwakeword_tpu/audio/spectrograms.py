@@ -29,9 +29,27 @@ class SpectrogramGeneration:
         self.step_ms = step_ms
         self.split_spectrogram_duration_s = split_spectrogram_duration_s
         self.slide_frames = slide_frames
+        self.custom_frontend = frontend is not None
         self.frontend = frontend or (
             lambda audio: generate_features_for_clip(audio, self.step_ms)
         )
+
+    def postprocess(self, spectrogram: np.ndarray):
+        """Applies the configured split/slide expansion to one spectrogram,
+        yielding the training-pool views (reference spectrograms.py:87-111)."""
+        if self.split_spectrogram_duration_s is not None:
+            length = int(self.split_spectrogram_duration_s / (self.step_ms / 1000))
+            if spectrogram.shape[0] > length + 20:
+                for start in range(20, spectrogram.shape[0] - length + 1, length):
+                    yield spectrogram[start : start + length]
+            else:
+                yield spectrogram
+        elif self.slide_frames is not None:
+            window = spectrogram.shape[0] - self.slide_frames + 1
+            for i in range(self.slide_frames):
+                yield spectrogram[i : i + window]
+        else:
+            yield spectrogram
 
     def get_random_spectrogram(self) -> np.ndarray:
         clip = self.clips.get_random_clip()
@@ -52,22 +70,4 @@ class SpectrogramGeneration:
             gen = self.augmenter.augment_generator(gen)
 
         for clip in gen:
-            spectrogram = self.frontend(clip)
-            if self.split_spectrogram_duration_s is not None:
-                # Non-overlapping segments; first 20 frames dropped
-                # (reference spectrograms.py:87-102).
-                length = int(self.split_spectrogram_duration_s / (self.step_ms / 1000))
-                if spectrogram.shape[0] > length + 20:
-                    for start in range(
-                        20, spectrogram.shape[0] - length + 1, length
-                    ):
-                        yield spectrogram[start : start + length]
-                else:
-                    yield spectrogram
-            elif self.slide_frames is not None:
-                # slide_frames shifted copies (reference spectrograms.py:103-111)
-                window = spectrogram.shape[0] - self.slide_frames + 1
-                for i in range(self.slide_frames):
-                    yield spectrogram[i : i + window]
-            else:
-                yield spectrogram
+            yield from self.postprocess(self.frontend(clip))

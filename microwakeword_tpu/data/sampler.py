@@ -171,6 +171,179 @@ def apply_spec_augment(
     return feats
 
 
+@flax.struct.dataclass
+class PackedAudioData:
+    """Raw-audio training corpus resident in HBM, hop-aligned.
+
+    Audio is stored as [total_chunks, 160] int16 (160 samples = one 10 ms
+    hop at 16 kHz); every clip is zero-padded to a whole number of chunks so
+    window gathers are chunk-row gathers (small index arrays, no per-sample
+    gather).  The on-the-fly training mode (reference
+    ClipsHandlerWrapperGenerator, data.py:324-402) samples windows from
+    here and computes the frontend INSIDE the jitted train step.
+    """
+
+    chunks: jnp.ndarray  # [total_chunks, 160] int16
+    clip_offset: jnp.ndarray  # [n_clips] int32 chunk offset
+    clip_chunks: jnp.ndarray  # [n_clips] int32 chunk count
+    provider_logits: jnp.ndarray  # [P] f32
+    provider_clip_start: jnp.ndarray  # [P] int32
+    provider_clip_count: jnp.ndarray  # [P] int32
+    provider_label: jnp.ndarray  # [P] f32
+    provider_penalty: jnp.ndarray  # [P] f32
+    provider_strategy: jnp.ndarray  # [P] int32
+
+
+HOP_SAMPLES = 160  # 10 ms at 16 kHz
+WINDOW_CHUNKS = 3  # 480-sample frontend window = 3 hop chunks
+
+
+def pack_audio_data(providers, shard_index=None, shard_count=None) -> PackedAudioData:
+    """Packs raw (augmented) audio pools into chunk-aligned device arrays.
+
+    Every provider must expose ``generate_audio_pool(shard_index,
+    shard_count) -> list[np.ndarray]`` of float [-1, 1] or int16 clips
+    (ClipsFeatureSet does); precomputed-spectrogram (mmap) providers have no
+    raw audio and cannot join this mode.
+    """
+    if shard_index is None:
+        shard_index = jax.process_index()
+    if shard_count is None:
+        shard_count = jax.process_count()
+    chunk_parts, offsets, counts = [], [], []
+    p_logit, p_start, p_count, p_label, p_penalty, p_strategy = [], [], [], [], [], []
+    chunk_pos = 0
+    clip_pos = 0
+    for p in providers:
+        if not hasattr(p, "generate_audio_pool"):
+            raise ValueError(
+                f"provider {type(p).__name__} has no raw audio "
+                "(generate_audio_pool); raw-audio training requires "
+                "clips-type feature sets"
+            )
+        clips = p.generate_audio_pool(shard_index, shard_count)
+        n_clips = 0
+        for clip in clips:
+            clip = np.asarray(clip)
+            if clip.dtype != np.int16:
+                clip = np.round(
+                    np.clip(clip * 32768.0, -32768.0, 32767.0)
+                ).astype(np.int16)
+            n = -(-len(clip) // HOP_SAMPLES)
+            if n < WINDOW_CHUNKS:
+                n = WINDOW_CHUNKS
+            padded = np.zeros(n * HOP_SAMPLES, np.int16)
+            padded[: len(clip)] = clip
+            chunk_parts.append(padded.reshape(n, HOP_SAMPLES))
+            offsets.append(chunk_pos)
+            counts.append(n)
+            chunk_pos += n
+            n_clips += 1
+        if n_clips == 0:
+            continue
+        p_logit.append(np.log(p.sampling_weight) if p.sampling_weight > 0 else -1e30)
+        p_start.append(clip_pos)
+        p_count.append(n_clips)
+        p_label.append(p.label)
+        p_penalty.append(p.penalty_weight)
+        p_strategy.append(_STRATEGY_IDS[p.truncation_strategy])
+        clip_pos += n_clips
+    if not chunk_parts:
+        raise ValueError("no audio clips found in any provider")
+    return PackedAudioData(
+        chunks=jnp.asarray(np.concatenate(chunk_parts, axis=0)),
+        clip_offset=jnp.asarray(np.asarray(offsets, np.int32)),
+        clip_chunks=jnp.asarray(np.asarray(counts, np.int32)),
+        provider_logits=jnp.asarray(np.asarray(p_logit, np.float32)),
+        provider_clip_start=jnp.asarray(np.asarray(p_start, np.int32)),
+        provider_clip_count=jnp.asarray(np.asarray(p_count, np.int32)),
+        provider_label=jnp.asarray(np.asarray(p_label, np.float32)),
+        provider_penalty=jnp.asarray(np.asarray(p_penalty, np.float32)),
+        provider_strategy=jnp.asarray(np.asarray(p_strategy, np.int32)),
+    )
+
+
+def sample_audio_feature_batch(
+    data: PackedAudioData,
+    rng: jax.Array,
+    batch_size: int,
+    features_length: int,
+    time_mask_max_size: int = 0,
+    time_mask_count: int = 0,
+    freq_mask_max_size: int = 0,
+    freq_mask_count: int = 0,
+):
+    """Draws one training batch from raw audio entirely on device: weighted
+    window sampling -> fused frontend (MXU DFT/mel + associative-scan AGC,
+    frontend/xla.py) -> SpecAugment.  Returns (features [B, L, 40] f32 in
+    [0, 26], labels [B], weights [B]).
+
+    The frontend runs on the sampled window only, so the AGC noise estimate
+    starts fresh at the window start (the reference's on-the-fly mode
+    computes features for the whole augmented clip before truncating --
+    data.py:324-402; the boundary difference is a few initial frames of
+    gain ramp, equivalent to clips recorded from silence).
+    """
+    from microwakeword_tpu.frontend import xla as F
+
+    r_prov, r_clip, r_win, r_aug = jax.random.split(rng, 4)
+    b = batch_size
+    # window of L frames needs L + (WINDOW_CHUNKS - 1) hop chunks
+    n_chunks = features_length + WINDOW_CHUNKS - 1
+
+    prov = jax.random.categorical(r_prov, data.provider_logits, shape=(b,))
+    u_clip = jax.random.uniform(r_clip, (b,))
+    count = data.provider_clip_count[prov]
+    clip = data.provider_clip_start[prov] + jnp.minimum(
+        jnp.floor(u_clip * count).astype(jnp.int32), count - 1
+    )
+    n = data.clip_chunks[clip]
+    off = data.clip_offset[clip]
+
+    strategy = data.provider_strategy[prov]
+    u_win = jax.random.uniform(r_win, (b,))
+    start_random = jnp.floor(u_win * jnp.maximum(n - n_chunks, 1)).astype(jnp.int32)
+    start_tstart = n - n_chunks
+    start_tend = jnp.zeros_like(n)
+    start_long = jnp.select(
+        [strategy == TRUNCATE_START, strategy == TRUNCATE_END],
+        [start_tstart, start_tend],
+        start_random,
+    )
+    # Short clips: right-align with leading silence (start may be negative).
+    start = jnp.where(n > n_chunks, start_long, n - n_chunks)
+
+    rel = start[:, None] + jnp.arange(n_chunks)[None, :]  # [B, C]
+    valid = (rel >= 0) & (rel < n[:, None])
+    rows = off[:, None] + jnp.clip(rel, 0, (n - 1)[:, None])
+    chunks = jnp.take(data.chunks, rows, axis=0).astype(jnp.float32)
+    chunks = chunks * valid[:, :, None]  # [B, C, 160]
+
+    # Frame assembly from hop chunks (frontend/xla.py frame_audio logic on
+    # pre-chunked rows): frame t = chunks[t : t + 3] flattened.
+    frames = jnp.concatenate(
+        [chunks[:, j : features_length + j, :] for j in range(WINDOW_CHUNKS)],
+        axis=-1,
+    )  # [B, L, 480]
+    sf = F.scaled_filterbank(frames)
+    est0 = jnp.zeros(sf.shape[:-2] + (sf.shape[-1],), jnp.float32)
+    feats, _ = F.frontend_streaming(jnp.moveaxis(sf, -2, 0), est0)
+    feats = jnp.moveaxis(feats, 0, -2)  # [B, L, 40]
+
+    if time_mask_count or freq_mask_count:
+        feats = apply_spec_augment(
+            r_aug,
+            feats,
+            time_mask_max_size,
+            time_mask_count,
+            freq_mask_max_size,
+            freq_mask_count,
+        )
+    labels = data.provider_label[prov]
+    weights = data.provider_penalty[prov]
+    return feats, labels, weights
+
+
 def sample_batch(
     data: PackedTrainingData,
     rng: jax.Array,

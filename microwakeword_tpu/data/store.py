@@ -325,18 +325,62 @@ class ClipsFeatureSet:
     def gather_mode(self, mode, features_length, truncation_strategy="default"):
         return None
 
+    def _audio_pool(self, n: int):
+        """Draws n freshly augmented raw clips (float32 [-1, 1])."""
+        gen = self.spectrogram_generation.clips.random_audio_generator()
+        if self.spectrogram_generation.augmenter is not None:
+            gen = self.spectrogram_generation.augmenter.augment_generator(gen)
+        return [np.asarray(next(gen), np.float32) for _ in range(n)]
+
+    def generate_audio_pool(self, shard_index: int = 0, shard_count: int = 1):
+        """This host's shard of raw augmented audio for PackedAudioData
+        (sampler.pack_audio_data): features are then computed on-device
+        inside the train step (reference data.py:324-402 equivalent)."""
+        n = max(1, self.pack_pool_size // max(1, shard_count))
+        return self._audio_pool(n)
+
     def generate_pool(self, shard_index: int = 0, shard_count: int = 1):
         """Materializes this host's shard of the sampler pool.
 
         Returns (frames uint16 [sum(T_i), 40], lengths int64 [n]).
+
+        Spectrograms are computed with the batched on-device frontend
+        (frontend/xla.py frontend_batch) over length-padded clip batches --
+        one MXU program per batch instead of the per-clip host frontend
+        (reference generates each spectrogram serially in Python,
+        spectrograms.py:61-113).
         """
+        from microwakeword_tpu.frontend import xla as F
+
+        sg = self.spectrogram_generation
         n = max(1, self.pack_pool_size // max(1, shard_count))
         specs = []
-        for _ in range(n):
-            spec = np.asarray(next(self._generator))
-            if not np.issubdtype(spec.dtype, np.uint16):
-                spec = np.round(spec / FEATURE_SCALE).astype(np.uint16)
-            specs.append(spec)
+        if sg.custom_frontend:
+            # custom frontend: per-clip host path (reference semantics)
+            for _ in range(n):
+                spec = np.asarray(next(self._generator))
+                if not np.issubdtype(spec.dtype, np.uint16):
+                    spec = np.round(spec / FEATURE_SCALE).astype(np.uint16)
+                specs.append(spec)
+        else:
+            step_ms = sg.step_ms
+            hop = 160 * (step_ms // 10)
+            clips = self._audio_pool(n)
+            batch = 64
+            for i in range(0, len(clips), batch):
+                part = clips[i : i + batch]
+                # bucket the pad length to bound XLA recompiles across pools
+                max_len = -(-max(max(len(c) for c in part), 480) // 8000) * 8000
+                x = np.zeros((len(part), max_len), np.float32)
+                for row, c in enumerate(part):
+                    x[row, : len(c)] = c
+                feats = np.asarray(F.frontend_batch(x, step_ms=step_ms))
+                for row, c in enumerate(part):
+                    t = 1 + (len(c) - 480) // hop if len(c) >= 480 else 0
+                    for spec in sg.postprocess(feats[row, :t]):
+                        specs.append(
+                            np.round(spec / FEATURE_SCALE).astype(np.uint16)
+                        )
         lengths = np.asarray([s.shape[0] for s in specs], np.int64)
         return np.concatenate(specs, axis=0), lengths
 
@@ -484,3 +528,11 @@ class FeatureHandler:
         from microwakeword_tpu.data.sampler import pack_training_data
 
         return pack_training_data(self.providers, shard_index, shard_count)
+
+    def pack_training_audio(self, shard_index=None, shard_count=None):
+        """Packs raw augmented audio pools for in-step frontend training
+        (config ``raw_audio_training: true``); requires every feature set to
+        be clips-type (data/sampler.py pack_audio_data)."""
+        from microwakeword_tpu.data.sampler import pack_audio_data
+
+        return pack_audio_data(self.providers, shard_index, shard_count)

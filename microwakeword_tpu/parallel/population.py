@@ -155,6 +155,49 @@ def make_population_train_step(
     return optimizer, jitted
 
 
+def make_population_eval_fn(bundle, n_models: int, eval_batch: int = 512, mesh=None):
+    """Chunked vmapped inference: stacked params x shared eval data.
+
+    Returned fn: (params, batch_stats, x [M, L, F]) -> probs [N, M].
+    With ``mesh``, the population axis is sharded over mesh('data').
+    """
+    shardings = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        pop = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        shardings = dict(in_shardings=(pop, pop, repl), out_shardings=pop)
+
+    forward = jax.jit(
+        jax.vmap(
+            lambda p, bs, x: bundle.module.apply(
+                {"params": p, "batch_stats": bs}, x, train=False
+            ),
+            in_axes=(0, 0, None),
+        ),
+        **shardings,
+    )
+
+    def eval_probs(params, batch_stats, x: np.ndarray) -> np.ndarray:
+        m = x.shape[0]
+        outs = []
+        for i in range(0, m, eval_batch):
+            chunk = x[i : i + eval_batch]
+            pad = eval_batch - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
+                )
+            p = np.asarray(forward(params, batch_stats, jnp.asarray(chunk)))
+            outs.append(p.reshape(n_models, eval_batch)[:, : eval_batch - pad or None])
+        if not outs:
+            return np.zeros((n_models, 0))
+        return np.concatenate(outs, axis=1)
+
+    return eval_probs
+
+
 def train_population(
     bundle,
     packed,
@@ -170,11 +213,25 @@ def train_population(
     spec_augment: dict | None = None,
     eval_interval: int = 0,
     sample_seed: int = 1234,
+    validation=None,
+    ambient=None,
+    ambient_hours: float = 0.0,
+    minimization_metric: str | None = None,
+    maximization_metric: str = "average_viable_recall",
+    target_minimization: float = 0.9,
 ):
-    """Trains a population; returns (stacked variables, history).
+    """Trains a population; returns (stacked variables, history[, selection]).
 
     history: list of {"step", "loss": [N], "accuracy": [N], ...} records
     (every eval_interval steps, plus the final step).
+
+    With ``validation=(val_x, val_y)`` (and optionally ``ambient`` split
+    windows + ``ambient_hours``), every eval interval runs the vmapped
+    validation pass and applies the reference's two-step best-checkpoint
+    predicate (train.py:411-451) PER MEMBER; the return gains a third
+    element {"best_variables": stacked best weights, "best_step": [N],
+    "leaderboard": [...]} where leaderboard rows are sorted best-first by
+    (min metric <= target, max metric).
     """
     seeds = list(seeds) if seeds is not None else list(range(n_models))
     assert len(seeds) == n_models
@@ -213,6 +270,66 @@ def train_population(
         [jax.random.fold_in(base, int(s)) for s in seeds]
     )
 
+    select = validation is not None
+    eval_probs = None
+    best = None
+    if select:
+        val_x, val_y = validation
+        val_x = np.asarray(val_x, np.float32)
+        val_y = np.asarray(val_y, np.float32).reshape(-1)
+        eval_probs = make_population_eval_fn(bundle, n_models, mesh=mesh)
+        best = {
+            "min": np.full(n_models, 10000.0),
+            "max": np.zeros(n_models),
+            "step": np.zeros(n_models, np.int64),
+            "metrics": [None] * n_models,
+            "params": None,
+            "batch_stats": None,
+        }
+
+    def run_selection(step):
+        vp = eval_probs(params, batch_stats, val_x)  # [N, M]
+        ap = (
+            eval_probs(params, batch_stats, np.asarray(ambient, np.float32))
+            if ambient is not None and len(ambient)
+            else None
+        )
+        new_best_members = []
+        val_records = []
+        for i in range(n_models):
+            vm = M.validation_metrics(
+                vp[i], val_y, ap[i] if ap is not None else None, ambient_hours
+            )
+            val_records.append(vm)
+            cur_min = float(vm[minimization_metric]) if minimization_metric else 0.0
+            cur_max = float(vm[maximization_metric])
+            if M.is_new_best(
+                cur_min, cur_max, best["min"][i], best["max"][i], target_minimization
+            ):
+                best["min"][i] = cur_min
+                best["max"][i] = cur_max
+                best["step"][i] = step
+                best["metrics"][i] = vm
+                new_best_members.append(i)
+        if new_best_members:
+            # Snapshot improved members' weights on host (params are tiny).
+            host_p = jax.tree.map(np.asarray, params)
+            host_bs = jax.tree.map(np.asarray, batch_stats)
+            if best["params"] is None:
+                best["params"] = host_p
+                best["batch_stats"] = host_bs
+            else:
+                idx = np.asarray(new_best_members)
+
+                def upd(dst, src):
+                    dst = np.array(dst)
+                    dst[idx] = src[idx]
+                    return dst
+
+                best["params"] = jax.tree.map(upd, best["params"], host_p)
+                best["batch_stats"] = jax.tree.map(upd, best["batch_stats"], host_bs)
+        return val_records
+
     history = []
     for step in range(1, steps + 1):
         step_keys = jax.vmap(lambda k: jax.random.fold_in(k, step))(member_keys)
@@ -220,8 +337,41 @@ def train_population(
             params, batch_stats, opt_state, step_keys, lrs, pos_w, neg_w, **sa
         )
         if (eval_interval and step % eval_interval == 0) or step == steps:
-            history.append(
-                {"step": step}
-                | {k: np.asarray(v) for k, v in metrics.items()}
-            )
-    return {"params": params, "batch_stats": batch_stats}, history
+            record = {"step": step} | {k: np.asarray(v) for k, v in metrics.items()}
+            if select:
+                record["validation"] = run_selection(step)
+            history.append(record)
+
+    variables = {"params": params, "batch_stats": batch_stats}
+    if not select:
+        return variables, history
+
+    order = sorted(
+        range(n_models),
+        key=lambda i: (
+            0 if best["min"][i] <= target_minimization else 1,
+            -best["max"][i],
+            best["min"][i],
+        ),
+    )
+    leaderboard = [
+        {
+            "member": i,
+            "seed": seeds[i],
+            "learning_rate": float(lrs[i]),
+            "best_step": int(best["step"][i]),
+            "minimization": float(best["min"][i]),
+            "maximization": float(best["max"][i]),
+            "metrics": best["metrics"][i],
+        }
+        for i in order
+    ]
+    selection = {
+        "best_variables": {
+            "params": best["params"],
+            "batch_stats": best["batch_stats"],
+        },
+        "best_step": best["step"],
+        "leaderboard": leaderboard,
+    }
+    return variables, history, selection

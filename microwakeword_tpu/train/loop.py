@@ -132,6 +132,12 @@ def make_train_step(
         loss = weighted_bce(probs, labels, weights)
         return loss, (probs, updates["batch_stats"])
 
+    sample = (
+        S.sample_audio_feature_batch
+        if isinstance(packed, S.PackedAudioData)
+        else S.sample_batch
+    )
+
     def train_step(
         params,
         batch_stats,
@@ -147,7 +153,7 @@ def make_train_step(
         negative_class_weight,
     ):
         r_batch, r_drop = jax.random.split(rng)
-        feats, labels, penalties = S.sample_batch(
+        feats, labels, penalties = sample(
             packed,
             r_batch,
             batch_size,
@@ -298,7 +304,11 @@ def train(
     variables = bundle.init(rng)
     params, batch_stats = variables["params"], variables["batch_stats"]
 
-    packed = feature_handler.pack_training()
+    packed = (
+        feature_handler.pack_training_audio()
+        if config.get("raw_audio_training")
+        else feature_handler.pack_training()
+    )
     if mesh is not None:
         from microwakeword_tpu.parallel.train_step import replicate
 

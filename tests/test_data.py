@@ -315,3 +315,133 @@ def test_clips_feature_set(tmp_path):
     # Sharded pool: each host generates pool_size // shard_count clips.
     shard = fh.pack_training(1, 3)
     assert int(shard.clip_length.shape[0]) == 2
+
+
+def test_sample_audio_feature_batch_matches_frontend():
+    """Raw-audio sampling + in-step frontend == frontend_batch on the same
+    window (truncate_start on an exact-length clip makes it deterministic)."""
+    from microwakeword_tpu.frontend import xla as F
+
+    rng = np.random.default_rng(3)
+    L = 30  # frames
+    n_chunks = L + S.WINDOW_CHUNKS - 1
+    audio = rng.integers(-8000, 8000, n_chunks * S.HOP_SAMPLES).astype(np.int16)
+    packed = S.PackedAudioData(
+        chunks=jnp.asarray(audio.reshape(n_chunks, S.HOP_SAMPLES)),
+        clip_offset=jnp.asarray([0], jnp.int32),
+        clip_chunks=jnp.asarray([n_chunks], jnp.int32),
+        provider_logits=jnp.asarray([0.0], jnp.float32),
+        provider_clip_start=jnp.asarray([0], jnp.int32),
+        provider_clip_count=jnp.asarray([1], jnp.int32),
+        provider_label=jnp.asarray([1.0], jnp.float32),
+        provider_penalty=jnp.asarray([0.5], jnp.float32),
+        provider_strategy=jnp.asarray([S.TRUNCATE_START], jnp.int32),
+    )
+    feats, labels, weights = jax.jit(
+        functools.partial(S.sample_audio_feature_batch, batch_size=2,
+                          features_length=L)
+    )(packed, jax.random.PRNGKey(0))
+    assert feats.shape == (2, L, 40)
+    assert np.all(np.asarray(labels) == 1.0) and np.all(np.asarray(weights) == 0.5)
+    want = np.asarray(F.frontend_batch(jnp.asarray(audio)[None, :], step_ms=10))
+    np.testing.assert_allclose(np.asarray(feats[0]), want[0, :L], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(feats[1]), want[0, :L], atol=1e-4)
+
+
+def test_sample_audio_feature_batch_short_clip_left_pad():
+    """Clips shorter than the window get leading silence (right-aligned)."""
+    rng = np.random.default_rng(4)
+    L = 20
+    n_clip = 10  # chunks, < L + 2
+    audio = rng.integers(-8000, 8000, n_clip * S.HOP_SAMPLES).astype(np.int16)
+    packed = S.PackedAudioData(
+        chunks=jnp.asarray(audio.reshape(n_clip, S.HOP_SAMPLES)),
+        clip_offset=jnp.asarray([0], jnp.int32),
+        clip_chunks=jnp.asarray([n_clip], jnp.int32),
+        provider_logits=jnp.asarray([0.0], jnp.float32),
+        provider_clip_start=jnp.asarray([0], jnp.int32),
+        provider_clip_count=jnp.asarray([1], jnp.int32),
+        provider_label=jnp.asarray([0.0], jnp.float32),
+        provider_penalty=jnp.asarray([1.0], jnp.float32),
+        provider_strategy=jnp.asarray([S.RANDOM], jnp.int32),
+    )
+    feats, _, _ = S.sample_audio_feature_batch(
+        packed, jax.random.PRNGKey(1), 1, L
+    )
+    f = np.asarray(feats)[0]
+    assert f.shape == (L, 40)
+    # leading frames are pure silence -> zero features
+    n_silent = (L + S.WINDOW_CHUNKS - 1) - n_clip  # leading zero chunks
+    assert np.all(f[: n_silent - S.WINDOW_CHUNKS + 1] == 0.0)
+    # trailing frames carry signal
+    assert f[-1].max() > 0
+
+
+def test_raw_audio_training_end_to_end(tmp_path):
+    """config raw_audio_training: train() packs raw augmented audio and the
+    jitted step computes features on device; the separable tone task is
+    learned (VERDICT r1 item 5)."""
+    from microwakeword_tpu.audio.io import save_clip
+    from microwakeword_tpu.models import build_model
+    from microwakeword_tpu.models.mixednet import MixedNetConfig
+    from microwakeword_tpu.train import loop as T
+
+    rng = np.random.default_rng(0)
+    t = np.arange(24000)
+    # Pulsed tones: the frontend's noise suppression removes *stationary*
+    # signals, so the separable signal must be transient (8 Hz gate).
+    gate = (np.sin(2 * np.pi * 8.0 * t / 16000) > 0).astype(np.float32)
+    for name, freqs in [("pos", (2000, 2400)), ("neg", (200, 300))]:
+        d = tmp_path / name
+        d.mkdir()
+        for i, f0 in enumerate(freqs):
+            tone = 0.4 * gate * np.sin(2 * np.pi * f0 * t / 16000)
+            tone += 0.004 * rng.standard_normal(len(t))
+            save_clip(tone.astype(np.float32), str(d / f"c{i}.wav"))
+
+    def clips_feature(name, truth):
+        return {
+            "type": "clips",
+            "truth": truth,
+            "sampling_weight": 1.0,
+            "penalty_weight": 1.0,
+            "truncation_strategy": "random",
+            "pack_pool_size": 8,
+            "clips_settings": {
+                "input_directory": str(tmp_path / name),
+                "file_pattern": "*.wav",
+            },
+            "augmentation_settings": {
+                "augmentation_duration_s": 1.5,
+                "augmentation_probabilities": {"Gain": 1.0},
+            },
+            "spectrogram_generation_settings": {"step_ms": 10},
+        }
+
+    config = {
+        "train_dir": str(tmp_path / "run"),
+        "stride": 1,
+        "window_step_ms": 10,
+        "batch_size": 16,
+        "spectrogram_length": 40,
+        "raw_audio_training": True,
+        "training_steps": [80],
+        "learning_rates": [0.02],
+        "eval_step_interval": 40,
+        "features": [clips_feature("pos", True), clips_feature("neg", False)],
+    }
+    cfg = MixedNetConfig(
+        pointwise_filters=(12, 12),
+        repeat_in_block=(1, 1),
+        mixconv_kernel_sizes=((3,), (5,)),
+        residual_connection=(False, False),
+        first_conv_filters=8,
+        first_conv_kernel_size=3,
+        spectrogram_length=40,
+    )
+    bundle = build_model("mixednet", cfg)
+    fh = FeatureHandler(config)
+    variables, history = T.train(bundle, config, fh)
+    final = history[-1]
+    assert np.isfinite(final["train"]["loss"])
+    assert final["train"]["accuracy"] > 0.9, final

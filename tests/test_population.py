@@ -123,3 +123,74 @@ def test_population_step_shapes_and_sharding():
     )
     assert metrics["loss"].shape == (n,)
     assert np.isfinite(np.asarray(metrics["loss"])).all()
+
+
+def test_population_selection_and_leaderboard():
+    """Per-member validation + two-step selection returns best weights and a
+    sorted leaderboard (VERDICT r1 item 6; reference train.py:411-451 per
+    member)."""
+    cfg = _cfg()
+    bundle = build_model("mixednet", cfg)
+    packed = _packed()
+
+    rng = np.random.default_rng(1)
+    val = []
+    labels = []
+    for i in range(24):
+        s = rng.uniform(0, 80, (20, 40))
+        if i % 2:
+            s[:, 20:] += 300.0
+        else:
+            s[:, :20] += 300.0
+        val.append(s * 0.0390625)
+        labels.append(float(i % 2))
+    val_x = np.asarray(val, np.float32)
+    val_y = np.asarray(labels, np.float32)
+    ambient = np.asarray(
+        [rng.uniform(0, 3, (20, 40)) for _ in range(8)], np.float32
+    )
+
+    n = 4
+    # One crippled member (lr=0) can't learn: must rank last.
+    lrs = [0.02, 0.02, 0.02, 0.0]
+    variables, history, selection = train_population(
+        bundle,
+        packed,
+        n_models=n,
+        steps=30,
+        batch_size=16,
+        features_length=20,
+        learning_rates=lrs,
+        eval_interval=10,
+        validation=(val_x, val_y),
+        ambient=ambient,
+        ambient_hours=1.0,
+        minimization_metric="ambient_false_positives_per_hour",
+        maximization_metric="average_viable_recall",
+        target_minimization=0.5,
+    )
+    lb = selection["leaderboard"]
+    assert len(lb) == n
+    assert lb[-1]["member"] == 3, lb  # lr=0 member ranks last
+    assert lb[0]["maximization"] >= lb[-1]["maximization"]
+    assert history[-1].get("validation") and len(history[-1]["validation"]) == n
+
+    # best weights reproduce the recorded best metric for the top member
+    # (the snapshot is from the member's best_step, not the final step)
+    top = lb[0]["member"]
+    bv = selection["best_variables"]
+    member = {
+        "params": jax.tree.map(lambda x: x[top], bv["params"]),
+        "batch_stats": jax.tree.map(lambda x: x[top], bv["batch_stats"]),
+    }
+    probs = np.asarray(bundle.forward(member, val_x)).reshape(-1)
+    aprobs = np.asarray(bundle.forward(member, ambient)).reshape(-1)
+    from microwakeword_tpu.train import metrics as M
+
+    vm = M.validation_metrics(probs, val_y, aprobs, 1.0)
+    np.testing.assert_allclose(
+        vm["average_viable_recall"], lb[0]["maximization"], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        vm["ambient_false_positives_per_hour"], lb[0]["minimization"], atol=1e-6
+    )
