@@ -29,13 +29,16 @@ def _track_stream_probs(bundle, variables, track: np.ndarray, stream_fn=None) ->
     if t <= 0:
         return np.zeros((0,))
     steps = t // bundle.stride
+    if stream_fn is not None:
+        # External runners (TFLite/native) see the exact track: for
+        # non-streaming window models, zero padding would leak into the
+        # trailing windows.  They emit however many windows fit.
+        probs = stream_fn(variables, track[None, :t].astype(np.float32))
+        return np.asarray(probs).reshape(-1)
     padded = _bucket(steps) * bundle.stride
     x = np.zeros((1, padded, track.shape[1]), dtype=np.float32)
     x[0, :t] = track[:t]
-    if stream_fn is not None:
-        probs = stream_fn(variables, x)
-    else:
-        probs = bundle.stream_scan(variables, x)
+    probs = bundle.stream_scan(variables, x)
     return np.asarray(probs).reshape(-1)[:steps]
 
 

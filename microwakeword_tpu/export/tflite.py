@@ -405,9 +405,16 @@ def build_tf_streaming(name: str, cfg, params, batch_stats, streaming: bool = Tr
     raise ValueError(f"no TFLite exporter for model {name!r}")
 
 
-def representative_dataset(feature_handler, config, n_specs: int = 500):
+def representative_dataset(
+    feature_handler, config, n_specs: int = 500, streaming: bool = True
+):
     """Reference utils.py:303-325: training spectrograms chopped into
-    (stride, 40) steps, with the frontend range pinned to 0.0 / 26.0."""
+    (stride, 40) steps, with the frontend range pinned to 0.0 / 26.0.
+
+    streaming=False yields full-length windows instead (the reference's
+    generator always yields (stride, 40) chunks, which cannot calibrate a
+    non-streaming graph -- its quantized non-streaming path is unusable;
+    we fix rather than preserve that)."""
     stride = config.get("stride", 1)
     length = config["spectrogram_length"]
     x, _, _ = feature_handler.get_data(
@@ -416,8 +423,14 @@ def representative_dataset(feature_handler, config, n_specs: int = 500):
     )
     def gen():
         for spec in x:
-            for i in range(0, (spec.shape[0] // stride) * stride, stride):
-                chunk = np.array(spec[i : i + stride], np.float32)
+            if streaming:
+                for i in range(0, (spec.shape[0] // stride) * stride, stride):
+                    chunk = np.array(spec[i : i + stride], np.float32)
+                    chunk[0, 0] = 0.0
+                    chunk[-1, -1] = 26.0
+                    yield [chunk[None, ...]]
+            else:
+                chunk = np.array(spec, np.float32)
                 chunk[0, 0] = 0.0
                 chunk[-1, -1] = 26.0
                 yield [chunk[None, ...]]
@@ -451,8 +464,11 @@ def convert_to_tflite(
 
 
 class TFLiteStreamingModel:
-    """Runs an exported streaming TFLite model (reference inference.py:34-125
-    equivalent): feeds (stride, 40) slices, returns per-step probabilities."""
+    """Runs an exported TFLite model (reference inference.py:34-125
+    equivalent).  Streaming models consume (stride, 40) slices; non-streaming
+    models consume full (spectrogram_length, 40) windows slid by stride --
+    the window length is read from the model's input shape, exactly like the
+    reference's ``input_feature_slices``."""
 
     def __init__(self, path: str, stride: int = 1):
         import tensorflow as tf
@@ -462,6 +478,7 @@ class TFLiteStreamingModel:
         self.input_details = self.interp.get_input_details()
         self.output_details = self.interp.get_output_details()
         self.stride = stride
+        self.window = int(self.input_details[0]["shape"][1])
         for d in self.input_details:
             self.interp.set_tensor(d["index"], np.zeros(d["shape"], d["dtype"]))
 
@@ -484,13 +501,18 @@ class TFLiteStreamingModel:
         return y
 
     def predict_spectrogram(self, spectrogram: np.ndarray) -> np.ndarray:
-        """[T, 40] float features -> [T // stride] probabilities."""
+        """[T, 40] float features -> per-window probabilities.
+
+        Windows of ``self.window`` slices ending at stride multiples
+        (reference inference.py:98-106); for streaming models window ==
+        stride, i.e. one probability per new slice."""
+        if np.issubdtype(spectrogram.dtype, np.uint16):
+            spectrogram = spectrogram.astype(np.float32) * 0.0390625
         probs = []
-        t = (spectrogram.shape[0] // self.stride) * self.stride
         d_in = self.input_details[0]
-        for i in range(0, t, self.stride):
+        for last in range(self.window, spectrogram.shape[0] + 1, self.stride):
             chunk = np.asarray(
-                spectrogram[i : i + self.stride], np.float32
+                spectrogram[last - self.window : last], np.float32
             )[None, ...]
             self.interp.set_tensor(d_in["index"], self._quantize_input(chunk))
             self.interp.invoke()
@@ -499,20 +521,101 @@ class TFLiteStreamingModel:
         return np.asarray(probs, np.float32)
 
 
-def export_and_evaluate_tflite(
-    bundle, variables, feature_handler, config, train_dir: str, quantize: bool
+def tflite_model_accuracy(
+    tflite_path: str,
+    feature_handler,
+    config: dict,
+    data_set: str = "testing",
+    folder: str | None = None,
+    accuracy_name: str = "tflite_model_accuracy.txt",
 ):
-    """CLI hook: export streaming TFLite (optionally int8) and run the
-    streamed ROC through the TFLite interpreter (reference evaluate_model
-    flow, model_train_eval.py:131-274)."""
+    """Accuracy of an exported TFLite model on a test set (exact semantics
+    of reference tflite_model_accuracy, test.py:406-517).
+
+    Non-ambient sets (truncate_start): the prediction is the LAST window's
+    probability > 0.5.  Ambient sets ('none'): counts 0.5-crossing false
+    accepts with a refractory window of spectrogram_length_final_layer
+    slices; reports false accepts per hour.
+    """
+    runner = TFLiteStreamingModel(tflite_path, stride=config.get("stride", 1))
+    truncation = "none" if data_set.endswith("ambient") else "truncate_start"
+    x, y, _ = feature_handler.get_data(
+        data_set,
+        batch_size=config.get("batch_size", 128),
+        features_length=config["spectrogram_length"],
+        truncation_strategy=truncation,
+    )
+    tp = tn = fp = fn = 0
+    for spec, label in zip(x, np.atleast_1d(y)):
+        runner.reset()
+        probs = runner.predict_spectrogram(np.asarray(spec))
+        if truncation != "none":
+            pred = bool(len(probs)) and probs[-1] > 0.5
+            if label > 0.5:
+                tp, fn = tp + pred, fn + (not pred)
+            else:
+                fp, tn = fp + pred, tn + (not pred)
+        else:
+            refractory = int(config.get("spectrogram_length_final_layer", 0))
+            previous, last_accept = 0.0, 0
+            for i, p in enumerate(probs):
+                if previous <= 0.5 < p and (i - last_accept > refractory):
+                    fp += 1
+                    last_accept = i
+                previous = float(p)
+    count = tp + tn + fp + fn
+    metrics = {
+        "accuracy": (tp + tn) / count if count else float("nan"),
+        "recall": tp / (tp + fn) if (tp + fn) else float("nan"),
+        "precision": tp / (tp + fp) if (tp + fp) else float("nan"),
+        "false_positive_rate": fp / (fp + tn) if (fp + tn) else float("nan"),
+        "false_negative_rate": fn / (tp + fn) if (tp + fn) else float("nan"),
+        "count": count,
+        "false_positives": fp,
+    }
+    if data_set.endswith("ambient"):
+        hours = feature_handler.get_mode_duration(data_set) / 3600.0
+        metrics["false_accepts_per_hour"] = fp / hours if hours else float("nan")
+    if folder:
+        os.makedirs(folder, exist_ok=True)
+        with open(os.path.join(folder, accuracy_name), "w") as f:
+            if data_set.endswith("ambient"):
+                f.write(
+                    f"false accepts = {fp}; false accepts per hour = "
+                    f"{metrics['false_accepts_per_hour']:.4}"
+                )
+            else:
+                f.write(repr(metrics))
+    return metrics
+
+
+def export_and_evaluate_tflite(
+    bundle,
+    variables,
+    feature_handler,
+    config,
+    train_dir: str,
+    quantize: bool,
+    streaming: bool = True,
+):
+    """CLI hook: export TFLite (streaming or non-streaming, optionally int8),
+    run the streamed ROC through the interpreter, and the accuracy /
+    ambient false-accept evaluation -- the reference evaluate_model artifact
+    family (model_train_eval.py:131-274 + test.py:406-517)."""
     from microwakeword_tpu.evaluate import streaming_model_roc
 
-    name = "stream_state_internal_quant" if quantize else "stream_state_internal"
+    base = "stream_state_internal" if streaming else "non_stream"
+    name = base + ("_quant" if quantize else "")
     folder = os.path.join(train_dir, f"tflite_{name}")
     module = build_tf_streaming(
-        bundle.name, bundle.config, variables["params"], variables["batch_stats"]
+        bundle.name, bundle.config, variables["params"], variables["batch_stats"],
+        streaming=streaming,
     )
-    rep = representative_dataset(feature_handler, config) if quantize else None
+    rep = (
+        representative_dataset(feature_handler, config, streaming=streaming)
+        if quantize
+        else None
+    )
     path = convert_to_tflite(
         module, os.path.join(folder, f"{name}.tflite"), quantize, rep
     )
@@ -530,4 +633,14 @@ def export_and_evaluate_tflite(
             stream_fn=stream_fn,
         )
         print(f"TFLite ({name}) streaming ROC AUC: {result['auc']:.5f}")
+    if feature_handler.get_mode_size("testing"):
+        m = tflite_model_accuracy(
+            path, feature_handler, config, data_set="testing", folder=folder
+        )
+        print(f"TFLite ({name}) testing accuracy: {m['accuracy']:.4%}")
+    if feature_handler.get_mode_size("testing_ambient"):
+        tflite_model_accuracy(
+            path, feature_handler, config, data_set="testing_ambient",
+            folder=folder, accuracy_name="tflite_ambient_false_accepts.txt",
+        )
     return path

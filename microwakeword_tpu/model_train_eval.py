@@ -100,6 +100,8 @@ def main(argv=None):
     parser.add_argument("--test_streaming", type=int, default=1,
                         help="Streamed ambient ROC with the native streaming model")
     parser.add_argument("--test_tf_nonstreaming", type=int, default=0)
+    parser.add_argument("--test_tflite_nonstreaming", type=int, default=0)
+    parser.add_argument("--test_tflite_nonstreaming_quantized", type=int, default=0)
     parser.add_argument("--test_tflite_streaming", type=int, default=0)
     parser.add_argument("--test_tflite_streaming_quantized", type=int, default=0)
     parser.add_argument("--export_native", type=int, default=1,
@@ -190,17 +192,28 @@ def main(argv=None):
         export_model(bundle, variables, native_path)
         print(f"native streaming model: {native_path}")
 
-    if flags.test_tflite_streaming or flags.test_tflite_streaming_quantized:
+    tflite_runs = []  # (quantize, streaming) per requested artifact
+    if flags.test_tflite_streaming:
+        tflite_runs.append((False, True))
+    if flags.test_tflite_streaming_quantized:
+        tflite_runs.append((True, True))
+    if flags.test_tflite_nonstreaming:
+        tflite_runs.append((False, False))
+    if flags.test_tflite_nonstreaming_quantized:
+        tflite_runs.append((True, False))
+    if tflite_runs:
         from microwakeword_tpu.export.tflite import export_and_evaluate_tflite
 
-        export_and_evaluate_tflite(
-            bundle,
-            variables,
-            feature_handler,
-            config,
-            train_dir,
-            quantize=bool(flags.test_tflite_streaming_quantized),
-        )
+        for quantize, streaming in tflite_runs:
+            export_and_evaluate_tflite(
+                bundle,
+                variables,
+                feature_handler,
+                config,
+                train_dir,
+                quantize=quantize,
+                streaming=streaming,
+            )
 
 
 if __name__ == "__main__":

@@ -177,3 +177,90 @@ def test_tflite_inception_float_matches_jax(tmp_path):
     lite = runner.predict_spectrogram(x)
     jax_probs = np.asarray(bundle.stream_scan(variables, x[None])).reshape(-1)
     np.testing.assert_allclose(lite, jax_probs, atol=1e-4)
+
+
+def test_tflite_nonstreaming_matches_jax(exported, tmp_path):
+    """Non-streaming TFLite export (reference tflite_non_stream artifact):
+    full-window input, slid by stride over a longer track."""
+    cfg, bundle, variables = exported
+    module = EX.build_tf_streaming_mixednet(
+        cfg, variables["params"], variables["batch_stats"], streaming=False
+    )
+    path = EX.convert_to_tflite(module, str(tmp_path / "non_stream.tflite"))
+    runner = EX.TFLiteStreamingModel(path, stride=cfg.stride)
+    assert runner.window == cfg.spectrogram_length
+    rng = np.random.default_rng(2)
+    x = rng.uniform(0, 26, (cfg.spectrogram_length + 4 * cfg.stride, 40)).astype(
+        np.float32
+    )
+    lite = runner.predict_spectrogram(x)
+    assert len(lite) == 5  # windows ending at L, L+s, ..., L+4s
+    for j in range(5):
+        w = x[j * cfg.stride : j * cfg.stride + cfg.spectrogram_length]
+        want = float(np.asarray(bundle.forward(variables, w[None])).reshape(-1)[0])
+        np.testing.assert_allclose(lite[j], want, atol=1e-4)
+
+
+def test_tflite_model_accuracy_semantics(exported, tmp_path):
+    """tflite_model_accuracy mirrors reference test.py:406-517: last-window
+    prediction on testing, 0.5-crossing count with refractory on ambient."""
+    from microwakeword_tpu.data.ragged_store import RaggedSpectrogramStore
+    from microwakeword_tpu.data.store import FeatureHandler
+
+    cfg, bundle, variables = exported
+    rng = np.random.default_rng(3)
+
+    def specs(n, lo, hi):
+        return [
+            rng.uniform(0, 660, (int(rng.integers(lo, hi)), 40)).astype(np.uint16)
+            for _ in range(n)
+        ]
+
+    d = tmp_path / "pos" / "testing"
+    d.mkdir(parents=True)
+    RaggedSpectrogramStore.create(str(d / "w_mmap"), specs(4, 50, 80))
+    d = tmp_path / "pos" / "testing_ambient"
+    d.mkdir(parents=True)
+    RaggedSpectrogramStore.create(str(d / "a_mmap"), specs(2, 200, 300))
+    config = {
+        "stride": cfg.stride,
+        "window_step_ms": 10,
+        "spectrogram_length": cfg.spectrogram_length,
+        "spectrogram_length_final_layer": 5,
+        "batch_size": 8,
+        "features": [
+            {"features_dir": str(tmp_path / "pos"), "truth": True,
+             "sampling_weight": 1.0, "penalty_weight": 1.0,
+             "truncation_strategy": "truncate_start", "type": "mmap"},
+        ],
+    }
+    fh = FeatureHandler(config)
+    module = EX.build_tf_streaming_mixednet(
+        cfg, variables["params"], variables["batch_stats"]
+    )
+    path = EX.convert_to_tflite(module, str(tmp_path / "s.tflite"))
+
+    m = EX.tflite_model_accuracy(
+        path, fh, config, data_set="testing", folder=str(tmp_path / "out")
+    )
+    assert m["count"] == 4 and np.isfinite(m["accuracy"])
+    assert (tmp_path / "out" / "tflite_model_accuracy.txt").exists()
+
+    # hand-check against direct predictions
+    x, y, _ = fh.get_data("testing", 8, cfg.spectrogram_length, "truncate_start")
+    runner = EX.TFLiteStreamingModel(path, stride=cfg.stride)
+    want_tp = 0
+    for spec in x:
+        runner.reset()
+        probs = runner.predict_spectrogram(np.asarray(spec))
+        want_tp += int(probs[-1] > 0.5)
+    assert m["recall"] == want_tp / 4
+
+    ma = EX.tflite_model_accuracy(
+        path, fh, config, data_set="testing_ambient",
+        folder=str(tmp_path / "out"), accuracy_name="amb.txt",
+    )
+    assert "false_accepts_per_hour" in ma and np.isfinite(
+        ma["false_accepts_per_hour"]
+    )
+    assert (tmp_path / "out" / "amb.txt").exists()
