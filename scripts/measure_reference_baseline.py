@@ -26,64 +26,11 @@ import types
 
 import numpy as np
 
-sys.path.insert(0, "/root/reference")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from reference_compat import RaggedMmapShim as _RaggedMmapShim  # noqa: E402
+from reference_compat import install_shims  # noqa: E402
 
-
-# --- mmap_ninja shim (registered before the reference's data.py import) ----
-class _RaggedMmapShim:
-    """API-compatible subset of mmap_ninja.ragged.RaggedMmap."""
-
-    def __init__(self, path):
-        self._data = np.lib.format.open_memmap(
-            os.path.join(path, "data.npy"), mode="r"
-        )
-        self._offsets = np.load(os.path.join(path, "offsets.npy"))
-
-    def __len__(self):
-        return len(self._offsets) - 1
-
-    def __getitem__(self, i):
-        return self._data[self._offsets[i] : self._offsets[i + 1]]
-
-    @staticmethod
-    def create(path, arrays):
-        os.makedirs(path, exist_ok=True)
-        flat = np.concatenate(arrays, axis=0)
-        offsets = np.concatenate(
-            [[0], np.cumsum([a.shape[0] for a in arrays])]
-        ).astype(np.int64)
-        np.save(os.path.join(path, "data.npy"), flat)
-        np.save(os.path.join(path, "offsets.npy"), offsets)
-
-
-_ragged_mod = types.ModuleType("mmap_ninja.ragged")
-_ragged_mod.RaggedMmap = _RaggedMmapShim
-_pkg = types.ModuleType("mmap_ninja")
-_pkg.ragged = _ragged_mod
-sys.modules.setdefault("mmap_ninja", _pkg)
-sys.modules.setdefault("mmap_ninja.ragged", _ragged_mod)
-
-# The reference's data.py transitively imports its offline audio stack
-# (clips/augmentation), whose deps aren't installed here.  They are never
-# touched on the MmapFeatureGenerator path we measure; stub just enough for
-# the imports to resolve.
-for _name, _attrs in [
-    ("audio_metadata", ["load", "UnsupportedFormat"]),
-    ("datasets", ["Dataset", "Audio"]),
-    ("webrtcvad", ["Vad"]),
-    ("audiomentations", [
-        "Compose", "AddBackgroundNoise", "AddColorNoise", "Aliasing",
-        "ApplyImpulseResponse", "BandStopFilter", "Gain", "GainTransition",
-        "Normalize", "PitchShift", "RepeatPart", "SevenBandParametricEQ",
-        "TanhDistortion",
-    ]),
-    ("pymicro_features", ["MicroFrontend"]),
-]:
-    if _name not in sys.modules:
-        _m = types.ModuleType(_name)
-        for _a in _attrs:
-            setattr(_m, _a, type(_a, (), {}))
-        sys.modules[_name] = _m
+install_shims()
 
 import tensorflow as tf  # noqa: E402
 

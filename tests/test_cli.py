@@ -104,3 +104,111 @@ def test_cli_end_to_end(tmp_path, capsys):
         "--first_conv_kernel_size", "3",
         "--stride", "1",
     ])
+
+
+def test_build_dataset_cli(tmp_path):
+    """python -m microwakeword_tpu.build_dataset: wavs -> ragged stores the
+    FeatureHandler can train from (documentation/training.md §1 recipe)."""
+    import yaml
+
+    from microwakeword_tpu.audio.io import save_clip
+    from microwakeword_tpu.build_dataset import main as build_main
+    from microwakeword_tpu.data.ragged_store import RaggedSpectrogramStore
+    from microwakeword_tpu.data.store import FeatureHandler
+
+    rng = np.random.default_rng(0)
+    audio_dir = tmp_path / "wavs"
+    audio_dir.mkdir()
+    t = np.arange(20000)
+    for i in range(6):
+        tone = 0.3 * np.sin(2 * np.pi * (400 + 100 * i) * t / 16000)
+        save_clip(tone.astype(np.float32), str(audio_dir / f"c{i}.wav"))
+
+    config = {
+        "output_dir": str(tmp_path / "features" / "word"),
+        "name": "word",
+        "clips": {
+            "input_directory": str(audio_dir),
+            "file_pattern": "*.wav",
+            "random_split_seed": 3,
+            "split_count": 2,  # 2 clips each to test/validation
+        },
+        "augmentation": {
+            "augmentation_duration_s": 1.3,
+            "augmentation_probabilities": {"Gain": 1.0},
+        },
+        "spectrogram_generation": {"step_ms": 10, "slide_frames": 3},
+        "splits": {
+            "training": {"split": "train", "repeat": 2},
+            "testing": {"split": "test"},
+            "validation": {"split": "validation"},
+        },
+    }
+    cfg_path = tmp_path / "dataset.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(config, f)
+    assert build_main(["--config", str(cfg_path)]) == 0
+
+    store = RaggedSpectrogramStore(
+        str(tmp_path / "features" / "word" / "training" / "word_mmap")
+    )
+    # 2 train clips x repeat 2 x slide_frames 3 = 12 spectrograms
+    assert len(store) == 12
+    assert store[0].dtype == np.uint16 and store[0].shape[1] == 40
+
+    fh = FeatureHandler(
+        {
+            "stride": 1,
+            "window_step_ms": 10,
+            "features": [
+                {"features_dir": str(tmp_path / "features" / "word"),
+                 "truth": True, "sampling_weight": 1.0, "penalty_weight": 1.0,
+                 "truncation_strategy": "truncate_start", "type": "mmap"},
+            ],
+        }
+    )
+    assert fh.get_mode_size("training") == 12
+    x, y, _ = fh.get_data("training", 4, 30, "truncate_start")
+    assert x.shape == (4, 30, 40) and np.all(y == 1.0)
+
+
+def test_convert_mmap_ninja(tmp_path, monkeypatch):
+    """convert_mmap_ninja migrates a reference features tree (shimmed
+    RaggedMmap reader) into RaggedSpectrogramStore dirs."""
+    import importlib
+    import sys
+    import types
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from reference_compat import RaggedMmapShim
+
+    ragged = types.ModuleType("mmap_ninja.ragged")
+    ragged.RaggedMmap = RaggedMmapShim
+    pkg = types.ModuleType("mmap_ninja")
+    pkg.ragged = ragged
+    monkeypatch.setitem(sys.modules, "mmap_ninja", pkg)
+    monkeypatch.setitem(sys.modules, "mmap_ninja.ragged", ragged)
+
+    rng = np.random.default_rng(0)
+    specs = {
+        "training/w_mmap": [rng.integers(0, 600, (t, 40)).astype(np.uint16)
+                            for t in (30, 45, 20)],
+        "testing_ambient/a_mmap": [rng.integers(0, 600, (200, 40)).astype(np.uint16)],
+    }
+    src = tmp_path / "ref"
+    for rel, arrays in specs.items():
+        RaggedMmapShim.create(str(src / rel), arrays)
+
+    import convert_mmap_ninja as CM
+
+    importlib.reload(CM)
+    dst = tmp_path / "converted"
+    assert CM.convert_tree(str(src), str(dst), log=lambda *_: None) == 2
+
+    from microwakeword_tpu.data.ragged_store import RaggedSpectrogramStore
+
+    for rel, arrays in specs.items():
+        store = RaggedSpectrogramStore(str(dst / rel))
+        assert len(store) == len(arrays)
+        for got, want in zip(store, arrays):
+            np.testing.assert_array_equal(got, want)
