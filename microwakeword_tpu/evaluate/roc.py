@@ -47,6 +47,59 @@ def _count_accepts(probs: jnp.ndarray, cutoffs: jnp.ndarray, cooldown_slices: jn
     return fires.sum(axis=0)
 
 
+def count_accepts(
+    probs: np.ndarray,
+    cutoffs: np.ndarray,
+    ignore_slices_after_accept: int,
+) -> np.ndarray:
+    """Public wrapper: per-cutoff cooldown accept counts for one track."""
+    return np.asarray(
+        _count_accepts(
+            jnp.asarray(np.asarray(probs, np.float32)),
+            jnp.asarray(cutoffs, jnp.float32),
+            jnp.int32(ignore_slices_after_accept),
+        )
+    )
+
+
+@jax.jit
+def _count_crossings(probs: jnp.ndarray, threshold: jnp.ndarray, refractory: jnp.ndarray):
+    """0.5-crossing counting with a refractory index window (one track).
+
+    Reference semantics (test.py:476-483): fp fires at index i when
+    previous <= threshold < p and i - last_accept > refractory, with
+    previous=0 and last_accept=0 initially (so index 0 never fires for
+    refractory >= 0); previous updates every step.
+    """
+
+    def step(carry, inp):
+        previous, last_accept = carry
+        i, p = inp
+        fire = (previous <= threshold) & (p > threshold) & (
+            i - last_accept > refractory
+        )
+        last_accept = jnp.where(fire, i, last_accept)
+        return (p, last_accept), fire
+
+    idx = jnp.arange(probs.shape[0])
+    (_, _), fires = jax.lax.scan(
+        step, (jnp.float32(0.0), jnp.int64(0) if idx.dtype == jnp.int64 else jnp.int32(0)),
+        (idx, probs),
+    )
+    return fires.sum()
+
+
+def count_crossings(probs, threshold: float = 0.5, refractory: int = 0) -> int:
+    """Public wrapper for the vectorized 0.5-crossing false-accept count."""
+    return int(
+        _count_crossings(
+            jnp.asarray(np.asarray(probs, np.float32)),
+            jnp.float32(threshold),
+            jnp.int32(refractory),
+        )
+    )
+
+
 def compute_false_accepts_per_hour(
     streaming_probabilities_list: List[np.ndarray],
     cutoffs: np.ndarray = DEFAULT_CUTOFFS,

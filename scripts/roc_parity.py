@@ -314,6 +314,28 @@ def run_reference(root, train_dir, steps, batch):
 
     data_processor = rdata.FeatureHandler(config)
     model = rmixednet.model(flags, (length, 40), batch)
+
+    # TF 2.21 Keras model.evaluate(return_dict=True) yields plain floats /
+    # numpy arrays; the reference (written for tf 2.16) calls .numpy() on
+    # the threshold-metric entries (train.py:73,104-106).  Wrap evaluate so
+    # array entries regain a .numpy() method.
+    class _TensorLike(np.ndarray):
+        def numpy(self):
+            return np.asarray(self)
+
+    orig_evaluate = model.evaluate
+
+    def evaluate_compat(*a, **kw):
+        result = orig_evaluate(*a, **kw)
+        if isinstance(result, dict):
+            result = {
+                k: (np.asarray(v).view(_TensorLike)
+                    if isinstance(v, np.ndarray) else v)
+                for k, v in result.items()
+            }
+        return result
+
+    model.evaluate = evaluate_compat
     t0 = time.perf_counter()
     rtrain.train(model, config, data_processor)
     train_s = time.perf_counter() - t0
@@ -382,7 +404,15 @@ def main():
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--workdir", type=str, default=None)
+    ap.add_argument("--jax-cpu", action="store_true",
+                    help="run our side on CPU (e.g. when the TPU tunnel is "
+                         "flaky); the reference side is always TF CPU")
     args = ap.parse_args()
+
+    if args.jax_cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     if args.quick:
         sizes = {
