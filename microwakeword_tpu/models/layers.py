@@ -123,7 +123,24 @@ class MixConv(nn.Module):
         for width, k in zip(splits, self.kernel_sizes):
             mask[kmax - k :, start : start + width] = 1.0
             start += width
-        kernel = self.param("kernel", KERNEL_INIT, (kmax, 1, channels))
+        # Per-group glorot: fan computed on each group's true [k_g, 1, C_g]
+        # sub-kernel, matching the reference's per-branch DepthwiseConv2D
+        # inits (mixednet.py:197-231) -- a single glorot over the masked
+        # [kmax, 1, C] kernel would shrink small-kernel groups' variance.
+        def mixconv_init(key, shape, dtype=jnp.float32):
+            kernel = jnp.zeros(shape, dtype)
+            start_c = 0
+            for g, (width, k) in enumerate(zip(splits, self.kernel_sizes)):
+                sub = KERNEL_INIT(
+                    jax.random.fold_in(key, g), (k, 1, width), dtype
+                )
+                kernel = kernel.at[
+                    kmax - k :, :, start_c : start_c + width
+                ].set(sub)
+                start_c += width
+            return kernel
+
+        kernel = self.param("kernel", mixconv_init, (kmax, 1, channels))
         kernel = kernel * mask[:, None, :]
         if self.streaming:
             ring = kmax - 1
@@ -308,13 +325,15 @@ class StreamConvTranspose(nn.Module):
     """Transposed 1D conv over time with overlap-add streaming state
     (reference stream.py:184, 522-564).
 
-    Non-streaming: full transposed conv, output length (T-1)*stride + k.
-    Streaming: each step of m frames emits m*stride frames; the trailing
-    ``k - stride`` frames of partial sums are carried as state and
-    overlap-added into the next step.  The streamed concatenation equals
-    the first T*stride frames of the non-streaming output.  Bias is added
-    per *emitted* frame (the reference instead subtracts the bias from the
-    carried remainder, stream.py:549-556 -- same result).
+    Non-streaming: transposed conv cropped to T*stride frames (the
+    reference Stream wrapper's transposed_conv_crop_output=True default,
+    stream.py:626-666); crop_output=False keeps the full (T-1)*stride + k
+    frames.  Streaming: each step of m frames emits m*stride frames; the
+    trailing ``k - stride`` frames of partial sums are carried as state and
+    overlap-added into the next step (requires kernel_size >= stride).  The
+    streamed concatenation equals the non-streaming (cropped) output.  Bias
+    is added per *emitted* frame (the reference instead subtracts the bias
+    from the carried remainder, stream.py:549-556 -- same result).
     """
 
     features: int
@@ -322,21 +341,33 @@ class StreamConvTranspose(nn.Module):
     stride: int = 1
     use_bias: bool = False
     streaming: bool = False
+    crop_output: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.streaming and self.kernel_size < self.stride:
+            raise ValueError(
+                f"streaming StreamConvTranspose requires kernel_size "
+                f"({self.kernel_size}) >= stride ({self.stride}); smaller "
+                "kernels would emit fewer than stride frames per step"
+            )
         in_features = x.shape[-1]
         kernel = self.param(
             "kernel", KERNEL_INIT, (self.kernel_size, self.features, in_features)
         )
+        # Overlap-add semantics: y[t*stride + j] += x[t] @ kernel[j].T
+        # (kernel [k, out, in], "HIO" + transpose_kernel=True; verified
+        # against a manual scatter in tests).
         y = jax.lax.conv_transpose(
             x,
             kernel,
             strides=(self.stride,),
             padding="VALID",
-            dimension_numbers=("NHC", "HOI", "NHC"),
+            dimension_numbers=("NHC", "HIO", "NHC"),
             transpose_kernel=True,
         )
+        if not self.streaming and self.crop_output:
+            y = y[:, : x.shape[1] * self.stride]
         if self.streaming:
             remainder = max(self.kernel_size - self.stride, 0)
             if remainder > 0:

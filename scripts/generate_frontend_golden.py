@@ -54,6 +54,15 @@ def make_signals():
     sigs["silence"] = np.zeros(n, dtype=np.int16)
     sigs["impulses"] = np.zeros(n, dtype=np.int16)
     sigs["impulses"][::1600] = 20000
+    # Pure tones: worst case for float-vs-int FFT comparison -- the C int16
+    # FFT has a quantization noise floor on off-tone channels that a float
+    # FFT does not (frontend/reference.py docstring).
+    sigs["tone_1k"] = (8000 * np.sin(2 * np.pi * 1000 * t)).astype(np.int16)
+    sigs["tone_250"] = (8000 * np.sin(2 * np.pi * 250 * t)).astype(np.int16)
+    gate = (np.sin(2 * np.pi * 8 * t) > 0).astype(np.float64)
+    sigs["tone_pulsed"] = (
+        8000 * gate * np.sin(2 * np.pi * 1500 * t) + rng.normal(0, 20, n)
+    ).astype(np.int16)
     return sigs
 
 

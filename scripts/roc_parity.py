@@ -55,18 +55,27 @@ def wake_pattern(rng):
     return np.concatenate([a, gap, b])
 
 
-def distractor(rng):
-    """Hard negatives: half patterns, reversed order, tone/noise bursts."""
+def distractor(rng, hard: bool = True):
+    """Negatives.  hard=True: half patterns and reversed order (training/
+    test negatives -- teaches the decision boundary).  hard=False: off-band
+    chirps and tone/noise bursts (ambient background -- acoustically
+    distinct events, like real radio/podcast ambient audio)."""
     kind = rng.integers(0, 4)
     j = lambda: 1.0 + rng.uniform(-0.1, 0.1)
+    # ambient chirps sit in shifted frequency bands
+    shift = 1.0 if hard else rng.choice([0.45, 0.6, 1.7, 2.2])
     if kind == 0:  # single up-chirp
-        return _chirp(rng, 800 * j(), 1600 * j(), 0.18 * j(), rng.uniform(0.2, 0.5))
+        return _chirp(rng, 800 * j() * shift, 1600 * j() * shift,
+                      0.18 * j(), rng.uniform(0.2, 0.5))
     if kind == 1:  # single down-chirp
-        return _chirp(rng, 2600 * j(), 1800 * j(), 0.18 * j(), rng.uniform(0.2, 0.5))
+        return _chirp(rng, 2600 * j() * shift, 1800 * j() * shift,
+                      0.18 * j(), rng.uniform(0.2, 0.5))
     if kind == 2:  # reversed pattern
-        b = _chirp(rng, 2600 * j(), 1800 * j(), 0.18 * j(), rng.uniform(0.2, 0.5))
+        b = _chirp(rng, 2600 * j() * shift, 1800 * j() * shift,
+                   0.18 * j(), rng.uniform(0.2, 0.5))
         gap = np.zeros(int(rng.uniform(0.04, 0.08) * SR), np.float32)
-        a = _chirp(rng, 800 * j(), 1600 * j(), 0.18 * j(), rng.uniform(0.2, 0.5))
+        a = _chirp(rng, 800 * j() * shift, 1600 * j() * shift,
+                   0.18 * j(), rng.uniform(0.2, 0.5))
         return np.concatenate([b, gap, a])
     # pulsed tone burst
     n = int(rng.uniform(0.1, 0.3) * SR)
@@ -88,8 +97,9 @@ def _embed(base, piece, start):
 def positive_clip(rng, dur_s=1.5):
     base = _noise(rng, int(dur_s * SR))
     pat = wake_pattern(rng)
-    # wake word ends in the last ~0.2 s (truncate_start training convention)
-    end_slack = int(rng.uniform(0.0, 0.2) * SR)
+    # wake word ends near the clip end (truncate_start training convention),
+    # with a little trailing room so the streamed probability ramp completes
+    end_slack = int(rng.uniform(0.05, 0.3) * SR)
     start = max(0, len(base) - len(pat) - end_slack)
     _embed(base, pat, start)
     return np.clip(base, -1, 1)
@@ -98,7 +108,9 @@ def positive_clip(rng, dur_s=1.5):
 def negative_clip(rng, dur_s=1.5):
     base = _noise(rng, int(dur_s * SR))
     for _ in range(rng.integers(0, 3)):
-        d = distractor(rng)
+        # mix adversarial (in-band) and background-style (off-band)
+        # distractors so ambient events are in-distribution negatives
+        d = distractor(rng, hard=bool(rng.integers(0, 2)))
         start = rng.integers(0, max(1, len(base) - len(d)))
         _embed(base, d, start)
     return np.clip(base, -1, 1)
@@ -106,9 +118,9 @@ def negative_clip(rng, dur_s=1.5):
 
 def ambient_track(rng, dur_s):
     base = _noise(rng, int(dur_s * SR))
-    n_events = int(dur_s / 60.0 * rng.uniform(4, 8))
+    n_events = int(dur_s / 60.0 * rng.uniform(1.5, 3.0))
     for _ in range(n_events):
-        d = distractor(rng)
+        d = distractor(rng, hard=False)
         start = rng.integers(0, max(1, len(base) - len(d)))
         _embed(base, d, start)
     return np.clip(base, -1, 1)
@@ -250,9 +262,12 @@ def train_config(root, train_dir, steps, batch):
         "negative_class_weight": [1.0],
         "positive_class_weight": [1.0],
         "eval_step_interval": max(50, steps // 5),
+        # target is deliberately reachable on the synthetic task: once faph
+        # drops below it, both frameworks select by average_viable_recall
+        # (an unreachable target degenerates selection into "fires least").
         "minimization_metric": "ambient_false_positives_per_hour",
         "maximization_metric": "average_viable_recall",
-        "target_minimization": 0.9,
+        "target_minimization": 20.0,
         "features": features_config(root),
     }
 
@@ -343,9 +358,7 @@ def run_reference(root, train_dir, steps, batch):
     # Reference eval flow (model_train_eval.py:414-439): fresh batch-1 model
     # + best weights -> streaming SavedModel -> TFLite -> streamed ROC.
     eval_model = rmixednet.model(flags, (length, 40), 1)
-    eval_model.load_weights(
-        os.path.join(train_dir, "best_weights.weights.h5")
-    ).expect_partial()
+    eval_model.load_weights(os.path.join(train_dir, "best_weights.weights.h5"))
     rutils.convert_model_saved(
         eval_model, config, "stream_state_internal",
         rmodes.Modes.STREAM_INTERNAL_STATE_INFERENCE,
@@ -425,10 +438,10 @@ def main():
         batch = 32
     else:
         sizes = {
-            "clips": {"training": (600, 600), "validation": (150, 150),
-                      "testing": (150, 150)},
+            "clips": {"training": (500, 500), "validation": (120, 120),
+                      "testing": (120, 120)},
             "validation_ambient_s": [90.0, 90.0],
-            "testing_ambient_s": [300.0] * 6,
+            "testing_ambient_s": [240.0] * 8,
         }
         steps = args.steps or 500
         batch = 64

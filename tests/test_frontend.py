@@ -3,9 +3,21 @@ true C microfrontend (TFLM audio_microfrontend op), and internal invariants.
 
 Golden vectors: tests/golden/frontend.npz, written by
 scripts/generate_frontend_golden.py.  Tolerances are in uint16 feature units
-(1 unit = 0.0390625 float units): broadband agreement is ~1 LSB MAE; sparse
-large diffs can occur at the pcan->log zero threshold, so we bound the
-fraction of mismatched cells rather than the max.
+(1 unit = 0.0390625 float units) and were set from measured deviations:
+
+- Broadband/transient signals (incl. wake-word-like pulsed tones and
+  impulse trains): ~1-2.3 LSB MAE.  The only large per-cell diffs occur at
+  the pcan->log ZERO THRESHOLD: as noise suppression decays a cell toward
+  zero, a +-1-frame timing difference between the float and the int
+  pipeline makes one side emit ~130-400 while the other emits 0.  These are
+  bounded as a cell fraction.
+- STEADY tones are the worst case by construction: the whole signal is
+  "noise" to the suppression stage, so every active cell sits in that decay
+  regime for many frames (int16-FFT noise floor + threshold timing).
+  Mutually-active cells (both sides > 200, i.e. not mid-threshold) still
+  agree to ~8.5 LSB.  Wake words are transients, where agreement is tight
+  (see tone_pulsed / impulses), and scripts/roc_parity.py checks the
+  end-to-end ROC transfer.
 """
 import os
 
@@ -25,20 +37,61 @@ def golden():
 BROADBAND = ["noise_2000", "noise_50", "modulated", "speechish"]
 
 
-@pytest.mark.parametrize("step_ms", [10, 20])
-@pytest.mark.parametrize("name", BROADBAND)
-def test_matches_c_frontend_broadband(golden, name, step_ms):
+def _compare(golden, name, step_ms):
     audio = golden[f"audio_{name}"]
     want = golden[f"feat{step_ms}_{name}"].astype(np.int64)
     fe = ref.MicroFrontend(step_ms=step_ms)
     got = fe.process_clip(audio).astype(np.int64)
     n = min(len(want), len(got))
     assert n > 50
-    d = np.abs(got[:n] - want[:n])
-    mae = d.mean()
-    frac_large = (d > 30).mean()
-    assert mae < 4.0, f"MAE {mae} too high vs C frontend"
-    assert frac_large < 0.02, f"{frac_large:.3%} cells differ by >30 units"
+    return got[:n], want[:n], np.abs(got[:n] - want[:n])
+
+
+@pytest.mark.parametrize("step_ms", [10, 20])
+@pytest.mark.parametrize("name", BROADBAND)
+def test_matches_c_frontend_broadband(golden, name, step_ms):
+    got, want, d = _compare(golden, name, step_ms)
+    assert d.mean() < 3.0, f"MAE {d.mean()} too high vs C frontend"
+    assert (d > 30).mean() < 0.02, f"{(d > 30).mean():.3%} cells differ by >30"
+    # Cells clearly active on both sides (not mid-threshold) agree tightly.
+    mutual = (want > 200) & (got > 200)
+    assert d[mutual].mean() < 3.0
+
+
+@pytest.mark.parametrize("step_ms", [10, 20])
+def test_matches_c_frontend_impulses(golden, step_ms):
+    """Impulse train: transient excitation, near-exact agreement."""
+    _, _, d = _compare(golden, "impulses", step_ms)
+    assert d.mean() < 0.5
+    assert d.max() <= 4
+
+
+@pytest.mark.parametrize("step_ms", [10, 20])
+def test_matches_c_frontend_pulsed_tone(golden, step_ms):
+    """Pulsed (8 Hz gated) tone: the wake-word-like case -- tonal but
+    transient, so noise suppression never fully converges."""
+    got, want, d = _compare(golden, "tone_pulsed", step_ms)
+    assert d.mean() < 2.5
+    assert (d > 30).mean() < 0.01
+    mutual = (want > 200) & (got > 200)
+    assert d[mutual].mean() < 3.5
+
+
+@pytest.mark.parametrize("name", ["tone_1k", "tone_250"])
+@pytest.mark.parametrize("step_ms", [10, 20])
+def test_matches_c_frontend_steady_tones(golden, name, step_ms):
+    """Steady tones: documented worst case (see module docstring).  The
+    mutually-active cells must still track; the divergent cells must be
+    confined to the suppression-decay threshold region (one side near 0)."""
+    got, want, d = _compare(golden, name, step_ms)
+    mutual = (want > 200) & (got > 200)
+    assert mutual.any()
+    assert d[mutual].mean() < 18.0  # measured 5-15 across tones/steps
+    # Large diffs are (almost all) threshold-region cells -- one side below
+    # 200; a handful of harmonic side-channel cells can exceed it too
+    # (measured <= 5 cells of ~350 mutual-active).
+    large_and_mutual = (d > 100) & mutual
+    assert large_and_mutual.sum() <= 8
 
 
 def test_silence_is_zero(golden):

@@ -140,3 +140,49 @@ def test_align_time():
     out = L.align_time(a, b)
     np.testing.assert_array_equal(out, a[:, 7:])
     np.testing.assert_array_equal(L.align_time(b, b), b)
+
+
+@pytest.mark.parametrize("kernel,stride", [(2, 2), (4, 2), (3, 1), (5, 5)])
+def test_stream_conv_transpose_parity(kernel, stride):
+    """Streamed overlap-add concat == non-streaming (cropped) transposed
+    conv (ADVICE r1: crop to T*stride like the reference's
+    transposed_conv_crop_output=True default, stream.py:626-666)."""
+    rng = jax.random.PRNGKey(2)
+    B, T, C, F = 2, 12, 6, 4
+    x = jax.random.normal(rng, (B, T, C))
+    full_mod = L.StreamConvTranspose(F, kernel, stride=stride, use_bias=True)
+    s_mod = L.StreamConvTranspose(
+        F, kernel, stride=stride, use_bias=True, streaming=True
+    )
+    variables = full_mod.init(rng, x)
+    full = full_mod.apply(variables, x)
+    assert full.shape == (B, T * stride, F)  # cropped
+    stream = stream_all(s_mod, {"params": variables["params"]}, x, 1)
+    assert stream.shape == (B, T * stride, F)
+    np.testing.assert_allclose(stream, full, atol=1e-5)
+
+
+def test_stream_conv_transpose_kernel_lt_stride_rejected():
+    x = jnp.zeros((1, 4, 3))
+    mod = L.StreamConvTranspose(2, kernel_size=1, stride=3, streaming=True)
+    with pytest.raises(ValueError):
+        mod.init(jax.random.PRNGKey(0), x)
+
+
+@pytest.mark.parametrize("kernel,stride", [(2, 2), (3, 1), (4, 2), (3, 3)])
+def test_stream_average_pooling_parity(kernel, stride):
+    """Streamed average pooling == valid non-streaming pooling on the
+    aligned tail (same ring logic as StreamConv)."""
+    rng = jax.random.PRNGKey(3)
+    B, T, C = 2, 24, 5
+    x = jax.random.normal(rng, (B, T, C))
+    full_mod = L.StreamAveragePooling(kernel, stride=stride)
+    s_mod = L.StreamAveragePooling(kernel, stride=stride, streaming=True)
+    variables = full_mod.init(rng, x)
+    ring = L.conv_ring_size(kernel, stride)
+    r = (-ring) % stride
+    full = full_mod.apply(variables, x[:, r:])
+    stream = stream_all(s_mod, {"params": variables.get("params", {})}, x, stride)
+    k = min(full.shape[1], stream.shape[1]) - 2
+    assert k > 2
+    np.testing.assert_allclose(stream[:, -k:], full[:, -k:], atol=1e-5)
