@@ -289,20 +289,25 @@ def run_ours(root, train_dir, steps, batch):
     t0 = time.perf_counter()
     training.train(bundle, config, fh)
     train_s = time.perf_counter() - t0
-    variables = training.load_weights(
-        bundle, os.path.join(train_dir, "best_weights.msgpack")
-    )
-    result = streaming_model_roc(
-        bundle, variables, fh, config,
-        folder=os.path.join(train_dir, "streaming"),
-    )
-    return {
+    out = {
         "train_seconds": train_s,
         "spectrogram_length": config["spectrogram_length"],
-        "auc": float(result["auc"]),
-        "faph": [float(v) for v in result["x_faph"]],
-        "frr": [float(v) for v in result["y_frr"]],
     }
+    for which in ("best", "last"):
+        variables = training.load_weights(
+            bundle, os.path.join(train_dir, f"{which}_weights.msgpack")
+        )
+        result = streaming_model_roc(
+            bundle, variables, fh, config,
+            folder=os.path.join(train_dir, "streaming"),
+            accuracy_name=f"streaming_roc_{which}.txt",
+        )
+        out[which] = {
+            "auc": float(result["auc"]),
+            "faph": [float(v) for v in result["x_faph"]],
+            "frr": [float(v) for v in result["y_frr"]],
+        }
+    return out
 
 
 def run_reference(root, train_dir, steps, batch):
@@ -356,36 +361,34 @@ def run_reference(root, train_dir, steps, batch):
     train_s = time.perf_counter() - t0
 
     # Reference eval flow (model_train_eval.py:414-439): fresh batch-1 model
-    # + best weights -> streaming SavedModel -> TFLite -> streamed ROC.
-    eval_model = rmixednet.model(flags, (length, 40), 1)
-    eval_model.load_weights(os.path.join(train_dir, "best_weights.weights.h5"))
-    rutils.convert_model_saved(
-        eval_model, config, "stream_state_internal",
-        rmodes.Modes.STREAM_INTERNAL_STATE_INFERENCE,
-    )
-    rutils.convert_saved_model_to_tflite(
-        config,
-        audio_processor=data_processor,
-        path_to_model=os.path.join(train_dir, "stream_state_internal"),
-        folder=os.path.join(train_dir, "tflite_stream_state_internal"),
-        fname="stream_state_internal.tflite",
-        quantize=False,
-    )
-    auc = rtest.tflite_streaming_model_roc(
-        config, "tflite_stream_state_internal", data_processor,
-    )
-    faph, frr = parse_reference_roc(
-        os.path.join(
-            train_dir, "tflite_stream_state_internal", "tflite_streaming_roc.txt"
+    # + best/last weights -> streaming SavedModel -> TFLite -> streamed ROC.
+    out = {"train_seconds": train_s, "spectrogram_length": length}
+    for which in ("best", "last"):
+        eval_model = rmixednet.model(flags, (length, 40), 1)
+        eval_model.load_weights(
+            os.path.join(train_dir, f"{which}_weights.weights.h5")
         )
-    )
-    return {
-        "train_seconds": train_s,
-        "spectrogram_length": length,
-        "auc": float(auc),
-        "faph": faph,
-        "frr": frr,
-    }
+        folder = f"tflite_stream_state_internal_{which}"
+        rutils.convert_model_saved(
+            eval_model, config, "stream_state_internal",
+            rmodes.Modes.STREAM_INTERNAL_STATE_INFERENCE,
+        )
+        rutils.convert_saved_model_to_tflite(
+            config,
+            audio_processor=data_processor,
+            path_to_model=os.path.join(train_dir, "stream_state_internal"),
+            folder=os.path.join(train_dir, folder),
+            fname="stream_state_internal.tflite",
+            quantize=False,
+        )
+        auc = rtest.tflite_streaming_model_roc(
+            config, folder, data_processor,
+        )
+        faph, frr = parse_reference_roc(
+            os.path.join(train_dir, folder, "tflite_streaming_roc.txt")
+        )
+        out[which] = {"auc": float(auc), "faph": faph, "frr": frr}
+    return out
 
 
 def parse_reference_roc(path):
@@ -438,9 +441,9 @@ def main():
         batch = 32
     else:
         sizes = {
-            "clips": {"training": (500, 500), "validation": (120, 120),
+            "clips": {"training": (500, 500), "validation": (150, 150),
                       "testing": (120, 120)},
-            "validation_ambient_s": [90.0, 90.0],
+            "validation_ambient_s": [240.0, 240.0, 240.0],
             "testing_ambient_s": [240.0] * 8,
         }
         steps = args.steps or 500
@@ -466,10 +469,10 @@ def main():
 
     ours = run_ours(ours_root, os.path.join(workdir, "run_ours"), steps, batch)
     print(f"ours trained+evaluated {time.perf_counter()-t0:.0f}s "
-          f"(auc={ours['auc']:.4f})", file=sys.stderr)
+          f"(auc best={ours['best']['auc']:.3f} last={ours['last']['auc']:.3f})", file=sys.stderr)
     ref = run_reference(ref_root, os.path.join(workdir, "run_ref"), steps, batch)
     print(f"reference trained+evaluated {time.perf_counter()-t0:.0f}s "
-          f"(auc={ref['auc']:.4f})", file=sys.stderr)
+          f"(auc best={ref['best']['auc']:.3f} last={ref['last']['auc']:.3f})", file=sys.stderr)
 
     anchors = [0.5, 1.0, 2.0]
     report = {
@@ -481,13 +484,17 @@ def main():
         "ours": ours,
         "reference": ref,
         "frr_at_faph": {
-            str(a): {
-                "ours": frr_at(ours["faph"], ours["frr"], a),
-                "reference": frr_at(ref["faph"], ref["frr"], a),
+            which: {
+                str(a): {
+                    "ours": frr_at(ours[which]["faph"], ours[which]["frr"], a),
+                    "reference": frr_at(ref[which]["faph"], ref[which]["frr"], a),
+                }
+                for a in anchors
             }
-            for a in anchors
+            for which in ("best", "last")
         },
-        "auc_delta": ours["auc"] - ref["auc"],
+        "auc_delta_best": ours["best"]["auc"] - ref["best"]["auc"],
+        "auc_delta_last": ours["last"]["auc"] - ref["last"]["auc"],
     }
     out = args.out or os.path.join(
         os.path.dirname(__file__), "..", "tests", "golden", "roc_parity_report.json"
@@ -495,7 +502,10 @@ def main():
     with open(out, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps({
-        "ours_auc": ours["auc"], "reference_auc": ref["auc"],
+        "ours_auc_best": ours["best"]["auc"],
+        "ours_auc_last": ours["last"]["auc"],
+        "reference_auc_best": ref["best"]["auc"],
+        "reference_auc_last": ref["last"]["auc"],
         "frr_at_faph": report["frr_at_faph"],
         "report": os.path.normpath(out),
     }, indent=2))
