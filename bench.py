@@ -279,6 +279,9 @@ def main():
     ap.add_argument("--dp-worker", type=int, default=None, help=argparse.SUPPRESS)
     ap.add_argument("--skip-dp", action="store_true",
                     help="skip the virtual-mesh scaling subprocess")
+    ap.add_argument("--profile", type=str, default=None,
+                    help="capture a jax profiler trace of the fused pipeline "
+                         "into this directory (view with xprof/TensorBoard)")
     args = ap.parse_args()
 
     if args.dp_worker is not None:
@@ -294,7 +297,12 @@ def main():
         print(msg, file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
-    fused = measure_fused_pipeline(steps, batch=args.batch)
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            fused = measure_fused_pipeline(steps, batch=args.batch)
+        log(f"[bench] profiler trace -> {args.profile}")
+    else:
+        fused = measure_fused_pipeline(steps, batch=args.batch)
     log(f"[bench] fused pipeline done {time.perf_counter()-t0:.0f}s")
     train = measure_train(steps, batch=args.batch)
     log(f"[bench] train done {time.perf_counter()-t0:.0f}s")

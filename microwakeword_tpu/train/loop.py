@@ -400,9 +400,21 @@ def train(
     maximization_metric = config.get("maximization_metric", "average_viable_recall")
     target_min = float(config.get("target_minimization", 0.9))
 
+    # Optional profiler capture: config profile_dir traces the hot loop
+    # once compilation has warmed up (profile_after..+profile_steps), for
+    # xprof/TensorBoard analysis.  The reference has no profiling at all
+    # (SURVEY.md §5); on TPU this is how the next bottleneck is found.
+    profile_dir = config.get("profile_dir")
+    profile_after = int(config.get("profile_after", 2))
+    profile_steps = int(config.get("profile_steps", 20))
+    profiling = False
+
     step_times = []  # (n_steps, seconds) per device call
     step = 0
     while step < total_steps:
+        if profile_dir and not profiling and step >= profile_after:
+            jax.profiler.start_trace(profile_dir)
+            profiling, profile_end = True, step + profile_steps
         # phase lookup (reference train.py:249-263); `step+1` is the step
         # about to execute
         s, phase, phase_end = 0, phases[-1], total_steps
@@ -433,6 +445,10 @@ def train(
         )
         step_times.append((n, time.perf_counter() - t0))
         step += n
+        if profiling and step >= profile_end:
+            jax.block_until_ready(params)
+            jax.profiler.stop_trace()
+            profiling, profile_dir = False, None
 
         if step % eval_interval == 0 or step == total_steps:
             sm = {k: float(v) for k, v in step_metrics.items()}
@@ -504,6 +520,10 @@ def train(
             history.append(record)
             with open(history_path, "a") as f:
                 f.write(json.dumps(record) + "\n")
+
+    if profiling:  # trace still open: short runs
+        jax.block_until_ready(params)
+        jax.profiler.stop_trace()
 
     _save(
         ckpt_path,
