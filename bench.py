@@ -297,44 +297,67 @@ def main():
         print(msg, file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
-    if args.profile:
-        with jax.profiler.trace(args.profile):
-            fused = measure_fused_pipeline(steps, batch=args.batch)
-        log(f"[bench] profiler trace -> {args.profile}")
-    else:
-        fused = measure_fused_pipeline(steps, batch=args.batch)
-    log(f"[bench] fused pipeline done {time.perf_counter()-t0:.0f}s")
-    train = measure_train(steps, batch=args.batch)
-    log(f"[bench] train done {time.perf_counter()-t0:.0f}s")
+
+    def phase(name, fn, fallback=None):
+        """Isolate measurement phases: one flaky phase (e.g. a TPU-tunnel
+        stall) must not cost the whole benchmark record."""
+        try:
+            r = fn()
+            log(f"[bench] {name} done {time.perf_counter()-t0:.0f}s")
+            return r
+        except Exception as e:  # pragma: no cover
+            log(f"[bench] {name} FAILED: {e}")
+            return fallback
+
+    def run_fused():
+        if args.profile:
+            with jax.profiler.trace(args.profile):
+                r = measure_fused_pipeline(steps, batch=args.batch)
+            log(f"[bench] profiler trace -> {args.profile}")
+            return r
+        return measure_fused_pipeline(steps, batch=args.batch)
+
+    fused = phase("fused pipeline", run_fused)
+    train = phase("train", lambda: measure_train(steps, batch=args.batch))
+    if fused is None and train is None:
+        raise RuntimeError("both fused and train measurements failed")
     fe_reps = 10 if args.quick else 30
-    frontend_xla = measure_frontend(fe_reps, backend="xla")
+    frontend_xla = phase(
+        "frontend xla", lambda: measure_frontend(fe_reps, backend="xla"),
+        fallback={"audio_seconds_per_sec": float("nan")},
+    )
     frontend_pallas = None
     if backend == "tpu":
-        try:
-            frontend_pallas = measure_frontend(fe_reps, backend="pallas")
-        except Exception as e:  # pragma: no cover
-            log(f"[bench] pallas frontend failed: {e}")
-    log(f"[bench] frontend done {time.perf_counter()-t0:.0f}s")
-    sweep = measure_population(8, 15 if args.quick else 60, batch=args.batch)
-    log(f"[bench] sweep done {time.perf_counter()-t0:.0f}s")
+        frontend_pallas = phase(
+            "frontend pallas", lambda: measure_frontend(fe_reps, backend="pallas")
+        )
+    sweep = phase(
+        "sweep", lambda: measure_population(8, 15 if args.quick else 60,
+                                            batch=args.batch),
+        fallback={"audio_seconds_per_sec": float("nan"),
+                  "model_steps_per_sec": float("nan")},
+    )
 
     dp = None
     if not args.skip_dp:
-        try:
-            dp1 = measure_dp_virtual(1, 30, args.batch)
-            dp8 = measure_dp_virtual(8, 30, args.batch)
-            dp = {
+        def run_dp():
+            # NOTE: virtual CPU devices SHARE host cores (one CPU device
+            # already multithreads), so this validates the DP partitioning
+            # executes and scales, not absolute multi-chip speedup.
+            dp1 = measure_dp_virtual(1, 20, args.batch)
+            dp8 = measure_dp_virtual(8, 20, args.batch)
+            return {
                 "virtual_cpu_1dev_audio_s_per_s": round(dp1["audio_seconds_per_sec"], 1),
                 "virtual_cpu_8dev_audio_s_per_s": round(dp8["audio_seconds_per_sec"], 1),
                 "scaling_8_vs_1": round(
                     dp8["audio_seconds_per_sec"] / dp1["audio_seconds_per_sec"], 2
                 ),
+                "note": "virtual devices share host cores; sublinear expected",
             }
-        except Exception as e:  # pragma: no cover
-            log(f"[bench] dp virtual scaling failed: {e}")
-        log(f"[bench] dp done {time.perf_counter()-t0:.0f}s")
 
-    headline = fused["audio_seconds_per_sec"]
+        dp = phase("dp virtual scaling", run_dp)
+
+    headline = (fused or train)["audio_seconds_per_sec"]
 
     baseline_path = os.path.join(
         os.path.dirname(__file__), "tests", "golden", "reference_baseline.json"

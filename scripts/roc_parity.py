@@ -49,9 +49,9 @@ def _chirp(rng, f0, f1, dur_s, amp):
 def wake_pattern(rng):
     """Up-chirp, gap, down-chirp -- the 'wake word' (~0.45 s)."""
     j = lambda: 1.0 + rng.uniform(-0.08, 0.08)
-    a = _chirp(rng, 800 * j(), 1600 * j(), 0.18 * j(), rng.uniform(0.06, 0.3))
+    a = _chirp(rng, 800 * j(), 1600 * j(), 0.18 * j(), rng.uniform(0.1, 0.4))
     gap = np.zeros(int(rng.uniform(0.04, 0.08) * SR), np.float32)
-    b = _chirp(rng, 2600 * j(), 1800 * j(), 0.18 * j(), rng.uniform(0.06, 0.3))
+    b = _chirp(rng, 2600 * j(), 1800 * j(), 0.18 * j(), rng.uniform(0.1, 0.4))
     return np.concatenate([a, gap, b])
 
 
@@ -86,7 +86,7 @@ def distractor(rng, hard: bool = True):
 
 
 def _noise(rng, n):
-    return (rng.uniform(0.01, 0.05) * rng.standard_normal(n)).astype(np.float32)
+    return (rng.uniform(0.008, 0.04) * rng.standard_normal(n)).astype(np.float32)
 
 
 def _embed(base, piece, start):

@@ -101,7 +101,8 @@ def test_population_member_matches_solo_training():
     want = member_variables(solo, 0)["params"]
     got = member_variables(variables, 1)["params"]
     for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        # vmapped vs solo reduction order differs -> float noise ~1e-6
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
 
 
 def test_population_step_shapes_and_sharding():
