@@ -391,6 +391,88 @@ def run_reference(root, train_dir, steps, batch):
     return out
 
 
+def run_cross_checks(workdir, ref_root, steps, batch):
+    """Disentangles frontend / trainer / evaluator:
+
+    - converts the C-op feature stores to our format and trains OUR trainer
+      on them (isolates the trainer: same features as the reference saw);
+    - scores the reference's trained TFLite through OUR evaluator (the two
+      evaluators must agree on the same model).
+    """
+    from pathlib import Path
+
+    from microwakeword_tpu.config import derive_config
+    from microwakeword_tpu.data.ragged_store import RaggedSpectrogramStore
+    from microwakeword_tpu.data.store import FeatureHandler
+    from microwakeword_tpu.evaluate import streaming_model_roc
+    from microwakeword_tpu.export.tflite import TFLiteStreamingModel
+    from microwakeword_tpu.model_train_eval import model_config_from_flags
+    from microwakeword_tpu.models import build_model
+    from microwakeword_tpu.train import loop as training
+
+    dst_root = os.path.join(workdir, "ref_features_ours_fmt")
+    for p in Path(ref_root).glob("**/x_mmap"):
+        legacy = RaggedMmapShim(str(p))
+        RaggedSpectrogramStore.create(
+            str(Path(dst_root) / p.relative_to(ref_root)),
+            (np.asarray(legacy[i], np.uint16) for i in range(len(legacy))),
+        )
+
+    flags = types.SimpleNamespace(model_name="mixednet", **MODEL_FLAGS)
+    cfg = model_config_from_flags(flags)
+    out = {}
+
+    # reference model through OUR evaluator
+    config = derive_config(
+        train_config(dst_root, os.path.join(workdir, "xcheck"), steps, batch), cfg
+    )
+    bundle = build_model("mixednet", config["model_config"])
+    fh = FeatureHandler(config)
+    import jax
+
+    dummy = bundle.init(jax.random.PRNGKey(0))
+    for which in ("best", "last"):
+        path = os.path.join(
+            workdir, "run_ref", f"tflite_stream_state_internal_{which}",
+            "stream_state_internal.tflite",
+        )
+        if not os.path.exists(path):
+            continue
+        runner = TFLiteStreamingModel(path, stride=MODEL_FLAGS["stride"])
+
+        def stream_fn(_vars, x):
+            runner.reset()
+            return runner.predict_spectrogram(np.asarray(x)[0])
+
+        r = streaming_model_roc(bundle, dummy, fh, config, stream_fn=stream_fn)
+        out[f"reference_{which}_through_our_evaluator"] = {
+            "auc": float(r["auc"]),
+            "frr_at_2faph": frr_at(list(r["x_faph"]), list(r["y_frr"]), 2.0),
+        }
+
+    # OUR trainer on the C-op features
+    config = derive_config(
+        train_config(
+            dst_root, os.path.join(workdir, "run_ours_on_ref_feats"), steps, batch
+        ),
+        cfg,
+    )
+    bundle = build_model("mixednet", config["model_config"])
+    fh = FeatureHandler(config)
+    training.train(bundle, config, fh)
+    for which in ("best", "last"):
+        variables = training.load_weights(
+            bundle,
+            os.path.join(workdir, "run_ours_on_ref_feats", f"{which}_weights.msgpack"),
+        )
+        r = streaming_model_roc(bundle, variables, fh, config)
+        out[f"ours_on_c_features_{which}"] = {
+            "auc": float(r["auc"]),
+            "frr_at_2faph": frr_at(list(r["x_faph"]), list(r["y_frr"]), 2.0),
+        }
+    return out
+
+
 def parse_reference_roc(path):
     faph, frr = [], []
     with open(path) as f:
@@ -420,6 +502,9 @@ def main():
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--workdir", type=str, default=None)
+    ap.add_argument("--cross-check", action="store_true",
+                    help="also train our trainer on the C-op features and "
+                         "score the reference model through our evaluator")
     ap.add_argument("--jax-cpu", action="store_true",
                     help="run our side on CPU (e.g. when the TPU tunnel is "
                          "flaky); the reference side is always TF CPU")
@@ -496,6 +581,9 @@ def main():
         "auc_delta_best": ours["best"]["auc"] - ref["best"]["auc"],
         "auc_delta_last": ours["last"]["auc"] - ref["last"]["auc"],
     }
+    if args.cross_check:
+        report["cross_checks"] = run_cross_checks(workdir, ref_root, steps, batch)
+        print(f"cross checks done {time.perf_counter()-t0:.0f}s", file=sys.stderr)
     out = args.out or os.path.join(
         os.path.dirname(__file__), "..", "tests", "golden", "roc_parity_report.json"
     )
