@@ -104,7 +104,7 @@ _PHASE_KW = dict(
 )
 
 
-def _run_train_loop(bundle, variables, packed, cfg, steps, batch, chunk=100, mesh=None):
+def _run_train_loop(bundle, variables, packed, cfg, steps, batch, chunk=50, mesh=None):
     """Times the fused step (precomputed features OR raw audio, by packed
     type) chained `chunk` steps per XLA call.  Returns seconds/step."""
     import jax
