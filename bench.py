@@ -104,7 +104,8 @@ _PHASE_KW = dict(
 )
 
 
-def _run_train_loop(bundle, variables, packed, cfg, steps, batch, chunk=50, mesh=None):
+def _run_train_loop(bundle, variables, packed, cfg, steps, batch, chunk=50,
+                    mesh=None, frontend_backend="xla"):
     """Times the fused step (precomputed features OR raw audio, by packed
     type) chained `chunk` steps per XLA call.  Returns seconds/step."""
     import jax
@@ -113,7 +114,7 @@ def _run_train_loop(bundle, variables, packed, cfg, steps, batch, chunk=50, mesh
 
     optimizer, step = make_train_step(
         bundle, packed, batch, cfg.spectrogram_length, steps_per_call=chunk,
-        mesh=mesh,
+        mesh=mesh, frontend_backend=frontend_backend,
     )
     params, batch_stats = variables["params"], variables["batch_stats"]
     opt_state = optimizer.init(params)
@@ -149,11 +150,12 @@ def measure_train(steps: int, batch: int):
     }
 
 
-def measure_fused_pipeline(steps: int, batch: int):
+def measure_fused_pipeline(steps: int, batch: int, frontend_backend: str = "xla"):
     """The headline: raw PCM sampling + frontend + train in ONE program."""
     cfg, bundle, variables = _flagship_model()
     dt = _run_train_loop(
-        bundle, variables, _synthetic_packed_audio(cfg), cfg, steps, batch
+        bundle, variables, _synthetic_packed_audio(cfg), cfg, steps, batch,
+        frontend_backend=frontend_backend,
     )
     return {
         "steps_per_sec": 1.0 / dt,
@@ -318,6 +320,18 @@ def main():
         return measure_fused_pipeline(steps, batch=args.batch)
 
     fused = phase("fused pipeline", run_fused)
+    fused_pallas = None
+    if backend == "tpu":
+        fused_pallas = phase(
+            "fused pipeline (pallas frontend)",
+            lambda: measure_fused_pipeline(steps, batch=args.batch,
+                                           frontend_backend="pallas"),
+        )
+        if fused_pallas and (fused is None or
+                             fused_pallas["audio_seconds_per_sec"]
+                             > fused["audio_seconds_per_sec"]):
+            fused, fused_pallas = fused_pallas, fused
+            log("[bench] pallas frontend wins the fused headline")
     train = phase("train", lambda: measure_train(steps, batch=args.batch))
     if fused is None and train is None:
         raise RuntimeError("both fused and train measurements failed")
@@ -381,7 +395,10 @@ def main():
         "vs_baseline": round(headline / e2e_rate, 2),
         "vs_baseline_train_on_batch": round(headline / tob_rate, 2),
         "backend": backend,
-        "fused_steps_per_sec": round(fused["steps_per_sec"], 2),
+        "fused_steps_per_sec": round(fused["steps_per_sec"], 2) if fused else None,
+        "fused_alt_frontend_audio_s_per_s": (
+            round(fused_pallas["audio_seconds_per_sec"], 1) if fused_pallas else None
+        ),
         "train_audio_s_per_s": round(train["audio_seconds_per_sec"], 1),
         "train_steps_per_sec": round(train["steps_per_sec"], 2),
         "frontend_xla_audio_s_per_s": round(frontend_xla["audio_seconds_per_sec"], 1),

@@ -272,6 +272,7 @@ def sample_audio_feature_batch(
     time_mask_count: int = 0,
     freq_mask_max_size: int = 0,
     freq_mask_count: int = 0,
+    frontend_backend: str = "xla",
 ):
     """Draws one training batch from raw audio entirely on device: weighted
     window sampling -> fused frontend (MXU DFT/mel + associative-scan AGC,
@@ -319,16 +320,31 @@ def sample_audio_feature_batch(
     chunks = jnp.take(data.chunks, rows, axis=0).astype(jnp.float32)
     chunks = chunks * valid[:, :, None]  # [B, C, 160]
 
-    # Frame assembly from hop chunks (frontend/xla.py frame_audio logic on
-    # pre-chunked rows): frame t = chunks[t : t + 3] flattened.
-    frames = jnp.concatenate(
-        [chunks[:, j : features_length + j, :] for j in range(WINDOW_CHUNKS)],
-        axis=-1,
-    )  # [B, L, 480]
-    sf = F.scaled_filterbank(frames)
-    est0 = jnp.zeros(sf.shape[:-2] + (sf.shape[-1],), jnp.float32)
-    feats, _ = F.frontend_streaming(jnp.moveaxis(sf, -2, 0), est0)
-    feats = jnp.moveaxis(feats, 0, -2)  # [B, L, 40]
+    if frontend_backend == "pallas":
+        # Fused Pallas kernel: frames/DFT/mel/AGC stay in VMEM tiles (no
+        # HBM intermediates); the gathered windows go in as flat PCM.
+        # (Measured slower than the XLA path on v5e at L=194 -- tile
+        # padding waste -- but kept as an option; interpreted off-TPU.)
+        from microwakeword_tpu.frontend import pallas as FP
+
+        # chunks hold int16-valued floats; cast back so the wrapper doesn't
+        # apply its float-in-[-1,1] x32768 convention.
+        feats = FP.frontend_batch(
+            chunks.reshape(b, n_chunks * HOP_SAMPLES).astype(jnp.int16),
+            step_ms=10,
+            interpret=jax.default_backend() != "tpu",
+        )  # [B, L, 40]
+    else:
+        # Frame assembly from hop chunks (frontend/xla.py frame_audio logic
+        # on pre-chunked rows): frame t = chunks[t : t + 3] flattened.
+        frames = jnp.concatenate(
+            [chunks[:, j : features_length + j, :] for j in range(WINDOW_CHUNKS)],
+            axis=-1,
+        )  # [B, L, 480]
+        sf = F.scaled_filterbank(frames)
+        est0 = jnp.zeros(sf.shape[:-2] + (sf.shape[-1],), jnp.float32)
+        feats, _ = F.frontend_streaming(jnp.moveaxis(sf, -2, 0), est0)
+        feats = jnp.moveaxis(feats, 0, -2)  # [B, L, 40]
 
     if time_mask_count or freq_mask_count:
         feats = apply_spec_augment(

@@ -88,6 +88,7 @@ def make_train_step(
     steps_per_call: int = 1,
     donate: bool = False,
     mesh=None,
+    frontend_backend: str = "xla",
 ):
     """Builds the fused jitted train step.
 
@@ -132,11 +133,15 @@ def make_train_step(
         loss = weighted_bce(probs, labels, weights)
         return loss, (probs, updates["batch_stats"])
 
-    sample = (
-        S.sample_audio_feature_batch
-        if isinstance(packed, S.PackedAudioData)
-        else S.sample_batch
-    )
+    if isinstance(packed, S.PackedAudioData):
+        import functools
+
+        # frontend_backend: 'xla' or 'pallas' (fused VMEM kernel, TPU only)
+        sample = functools.partial(
+            S.sample_audio_feature_batch, frontend_backend=frontend_backend
+        )
+    else:
+        sample = S.sample_batch
 
     def train_step(
         params,
@@ -313,8 +318,10 @@ def train(
         from microwakeword_tpu.parallel.train_step import replicate
 
         packed = replicate(packed, mesh)
+    frontend_backend = config.get("frontend_backend", "xla")
     optimizer, train_step = make_train_step(
-        bundle, packed, batch_size, features_length, mesh=mesh
+        bundle, packed, batch_size, features_length, mesh=mesh,
+        frontend_backend=frontend_backend,
     )
     steps_per_call = int(config.get("steps_per_call", 1))
     chunk_step = None
@@ -322,6 +329,7 @@ def train(
         _, chunk_step = make_train_step(
             bundle, packed, batch_size, features_length,
             steps_per_call=steps_per_call, mesh=mesh,
+            frontend_backend=frontend_backend,
         )
     opt_state = optimizer.init(params)
     eval_probs = make_eval_fn(bundle, mesh=mesh)

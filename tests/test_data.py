@@ -445,3 +445,30 @@ def test_raw_audio_training_end_to_end(tmp_path):
     final = history[-1]
     assert np.isfinite(final["train"]["loss"])
     assert final["train"]["accuracy"] > 0.9, final
+
+
+def test_sample_audio_feature_batch_pallas_backend_matches_xla():
+    """The pallas frontend option inside the sampler == the XLA path
+    (interpreted off-TPU; real-TPU parity covered by the frontend tests)."""
+    rng = np.random.default_rng(6)
+    L = 24
+    n_chunks = L + S.WINDOW_CHUNKS - 1
+    audio = rng.integers(-8000, 8000, n_chunks * S.HOP_SAMPLES).astype(np.int16)
+    packed = S.PackedAudioData(
+        chunks=jnp.asarray(audio.reshape(n_chunks, S.HOP_SAMPLES)),
+        clip_offset=jnp.asarray([0], jnp.int32),
+        clip_chunks=jnp.asarray([n_chunks], jnp.int32),
+        provider_logits=jnp.asarray([0.0], jnp.float32),
+        provider_clip_start=jnp.asarray([0], jnp.int32),
+        provider_clip_count=jnp.asarray([1], jnp.int32),
+        provider_label=jnp.asarray([1.0], jnp.float32),
+        provider_penalty=jnp.asarray([1.0], jnp.float32),
+        provider_strategy=jnp.asarray([S.TRUNCATE_START], jnp.int32),
+    )
+    fx, _, _ = S.sample_audio_feature_batch(
+        packed, jax.random.PRNGKey(0), 1, L, frontend_backend="xla"
+    )
+    fp, _, _ = S.sample_audio_feature_batch(
+        packed, jax.random.PRNGKey(0), 1, L, frontend_backend="pallas"
+    )
+    np.testing.assert_allclose(np.asarray(fx), np.asarray(fp), atol=0.05)
