@@ -106,6 +106,81 @@ def test_cli_end_to_end(tmp_path, capsys):
     ])
 
 
+def test_cli_inception_end_to_end(tmp_path):
+    """The inception subparser trains and evaluates through the same CLI
+    (reference model_train_eval.py inception subparser)."""
+    rng = np.random.default_rng(1)
+
+    def make(n, positive, lo, hi):
+        out = []
+        for _ in range(n):
+            t = rng.integers(lo, hi)
+            spec = rng.uniform(0, 80, size=(t, 40))
+            if positive:
+                spec[:, 20:] += 300
+            else:
+                spec[:, :20] += 300
+            out.append(spec.astype(np.uint16))
+        return out
+
+    for name, positive, modes in [
+        ("pos", True, {"training": 20, "validation": 6}),
+        ("neg", False, {"training": 16, "validation": 6,
+                        "validation_ambient": 1, "testing_ambient": 1}),
+    ]:
+        for mode, n in modes.items():
+            d = tmp_path / name / mode
+            d.mkdir(parents=True)
+            lo, hi = (400, 500) if mode.endswith("ambient") else (45, 70)
+            RaggedSpectrogramStore.create(
+                str(d / "w_mmap"), make(n, positive, lo, hi)
+            )
+
+    config = {
+        "train_dir": str(tmp_path / "run_inc"),
+        "clip_duration_ms": 600,
+        "window_step_ms": 10,
+        "batch_size": 8,
+        "training_steps": [10],
+        "learning_rates": [0.01],
+        "eval_step_interval": 5,
+        "minimization_metric": None,
+        "maximization_metric": "average_viable_recall",
+        "features": [
+            {"features_dir": str(tmp_path / "pos"), "truth": True,
+             "sampling_weight": 1.0, "penalty_weight": 1.0,
+             "truncation_strategy": "truncate_start", "type": "mmap"},
+            {"features_dir": str(tmp_path / "neg"), "truth": False,
+             "sampling_weight": 1.0, "penalty_weight": 1.0,
+             "truncation_strategy": "random", "type": "mmap"},
+        ],
+    }
+    cfg_path = tmp_path / "inc.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(config, f)
+
+    from microwakeword_tpu.model_train_eval import main
+
+    main([
+        "--training_config", str(cfg_path),
+        "--train", "1",
+        "--test_streaming", "1",
+        "--export_native", "0",
+        "inception",
+        "--cnn1_filters", "8",
+        "--cnn1_kernel_sizes", "3",
+        "--cnn1_subspectral_groups", "1",
+        "--cnn2_filters1", "6,6",
+        "--cnn2_filters2", "8,8",
+        "--cnn2_kernel_sizes", "3,3",
+        "--cnn2_subspectral_groups", "1,1",
+        "--cnn2_dilation", "1,1",
+    ])
+    run = tmp_path / "run_inc"
+    assert (run / "best_weights.msgpack").exists()
+    assert (run / "streaming" / "streaming_roc.txt").exists()
+
+
 def test_build_dataset_cli(tmp_path):
     """python -m microwakeword_tpu.build_dataset: wavs -> ragged stores the
     FeatureHandler can train from (documentation/training.md §1 recipe)."""
