@@ -170,8 +170,7 @@ def streaming_model_roc(
     positives = [s for s, label in zip(test_x, test_y) if label > 0.5]
     local_positives = positives[p_idx::p_cnt]
     positive_max_probs = []
-    for spec in local_positives:
-        probs = _track_stream_probs(bundle, variables, spec, stream_fn)
+    for probs in _all_track_probs(local_positives):
         ma = R.moving_average(probs[ignore_slices_after_accept:], sliding_window_length)
         if len(ma):
             positive_max_probs.append(float(ma.max()))
