@@ -163,8 +163,10 @@ def measure_fused_pipeline(steps: int, batch: int, frontend_backend: str = "xla"
     }
 
 
-def measure_population(n_models: int, steps: int, batch: int):
-    """Sweep throughput: n_models trained concurrently (parallel/population)."""
+def measure_population(n_models: int, steps: int, batch: int, chunk: int = 25):
+    """Sweep throughput: n_models trained concurrently (parallel/population),
+    `chunk` optimizer steps chained per XLA call (dispatch amortization,
+    same as the single-model path)."""
     import jax
     import jax.numpy as jnp
 
@@ -177,7 +179,7 @@ def measure_population(n_models: int, steps: int, batch: int):
     packed = _synthetic_packed(cfg, n_clips=800)
     variables = init_population(bundle, range(n_models))
     optimizer, step = make_population_train_step(
-        bundle, packed, batch, cfg.spectrogram_length
+        bundle, packed, batch, cfg.spectrogram_length, steps_per_call=chunk
     )
     opt_state = jax.vmap(optimizer.init)(variables["params"])
     keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(n_models, dtype=jnp.uint32))
@@ -186,15 +188,18 @@ def measure_population(n_models: int, steps: int, batch: int):
     kw = dict(time_mask_max_size=5, time_mask_count=2,
               freq_mask_max_size=5, freq_mask_count=2)
     p, bs, os_, m = step(
-        variables["params"], variables["batch_stats"], opt_state, keys, *args, **kw
+        variables["params"], variables["batch_stats"], opt_state, keys, *args,
+        jnp.int32(0), **kw
     )
     jax.block_until_ready(p)
+    n_calls = max(1, steps // chunk)
     t0 = time.perf_counter()
-    for i in range(steps):
-        keys = jax.vmap(lambda k: jax.random.fold_in(k, i))(keys)
-        p, bs, os_, m = step(p, bs, os_, keys, *args, **kw)
+    for i in range(n_calls):
+        p, bs, os_, m = step(
+            p, bs, os_, keys, *args, jnp.int32((i + 1) * chunk), **kw
+        )
     jax.block_until_ready(p)
-    dt = (time.perf_counter() - t0) / steps
+    dt = (time.perf_counter() - t0) / (n_calls * chunk)
     return {
         "n_models": n_models,
         "model_steps_per_sec": n_models / dt,

@@ -633,6 +633,28 @@ def export_and_evaluate_tflite(
             stream_fn=stream_fn,
         )
         print(f"TFLite ({name}) streaming ROC AUC: {result['auc']:.5f}")
+        if streaming and quantize:
+            # deployment artifact: ESPHome manifest with the operating
+            # cutoff read off the measured ROC (reference leaves this to
+            # the user, notebook cell 11).
+            from microwakeword_tpu.export.manifest import (
+                recommended_cutoff,
+                write_manifest,
+            )
+
+            wake_word = config.get(
+                "wake_word", os.path.basename(os.path.normpath(train_dir))
+            )
+            manifest_path = write_manifest(
+                path,
+                wake_word=str(wake_word),
+                probability_cutoff=recommended_cutoff(
+                    result, target_faph=float(config.get("target_faph", 0.5))
+                ),
+                sliding_window_size=5,
+                feature_step_size=int(config.get("window_step_ms", 10)),
+            )
+            print(f"ESPHome manifest: {manifest_path}")
     if feature_handler.get_mode_size("testing"):
         m = tflite_model_accuracy(
             path, feature_handler, config, data_set="testing", folder=folder

@@ -43,6 +43,7 @@ def make_population_train_step(
     batch_size: int,
     features_length: int,
     mesh=None,
+    steps_per_call: int = 1,
 ):
     """Builds (optimizer, step) for a stacked population.
 
@@ -53,6 +54,16 @@ def make_population_train_step(
     With ``mesh``, the population axis is sharded over mesh('data'): each
     device trains its slice of the population; there are no cross-member
     collectives.  ``packed`` is replicated.
+
+    With ``steps_per_call`` > 1 the signature changes: ``rngs`` must be the
+    UNfolded per-member base keys and an extra positional ``start_step``
+    (int) follows them; the chained program runs optimizer steps
+    start_step+1 .. start_step+steps_per_call in one XLA call, deriving each
+    sub-step's key as fold_in(member_key, step_index) -- bit-identical to
+    calling the unchained step in a Python loop (the sweep analogue of
+    train.loop's chunked step; per-step dispatch dominated sweep throughput
+    on the real chip: 0.46 ms/step chained single-model vs 9.5 ms/step
+    unchained population).  Metrics are the last sub-step's.
     """
     optimizer = optax.inject_hyperparams(optax.adam)(
         learning_rate=0.001, eps=1e-7
@@ -130,27 +141,53 @@ def make_population_train_step(
 
         return jax.vmap(member)(params, batch_stats, opt_state, rngs, lrs, pos_w, neg_w)
 
+    def chained(params, batch_stats, opt_state, member_keys, lrs, pos_w, neg_w,
+                start_step, *, time_mask_max_size, time_mask_count,
+                freq_mask_max_size, freq_mask_count):
+
+        def body(carry, step_idx):
+            params, batch_stats, opt_state = carry
+            step_keys = jax.vmap(
+                lambda k: jax.random.fold_in(k, step_idx)
+            )(member_keys)
+            params, batch_stats, opt_state, m = vstep(
+                params, batch_stats, opt_state, step_keys, lrs, pos_w, neg_w,
+                time_mask_max_size=time_mask_max_size,
+                time_mask_count=time_mask_count,
+                freq_mask_max_size=freq_mask_max_size,
+                freq_mask_count=freq_mask_count,
+            )
+            return (params, batch_stats, opt_state), m
+
+        steps = start_step + 1 + jnp.arange(steps_per_call, dtype=jnp.int32)
+        (params, batch_stats, opt_state), ms = jax.lax.scan(
+            body, (params, batch_stats, opt_state), steps
+        )
+        last = jax.tree.map(lambda x: x[-1], ms)
+        return params, batch_stats, opt_state, last
+
+    fn, n_array_args = (chained, 8) if steps_per_call > 1 else (vstep, 7)
+
     if mesh is None:
-        return optimizer, jax.jit(vstep, static_argnames=statics)
+        return optimizer, jax.jit(fn, static_argnames=statics)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     pop = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    # population-axis args are sharded; the chained variant's trailing
+    # start_step scalar is replicated
+    in_shardings = (pop,) * 7 + ((repl,) if n_array_args == 8 else ())
 
     jitted_inner = jax.jit(
-        lambda params, batch_stats, opt_state, rngs, lrs, pos_w, neg_w, sa: vstep(
-            params, batch_stats, opt_state, rngs, lrs, pos_w, neg_w, **dict(sa)
-        ),
-        static_argnums=(7,),
-        in_shardings=((pop,) * 7),
+        lambda *args: fn(*args[:-1], **dict(args[-1])),
+        static_argnums=(n_array_args,),
+        in_shardings=in_shardings,
         out_shardings=(pop, pop, pop, pop),
     )
 
-    def jitted(params, batch_stats, opt_state, rngs, lrs, pos_w, neg_w, **sa):
-        return jitted_inner(
-            params, batch_stats, opt_state, rngs, lrs, pos_w, neg_w,
-            tuple(sorted(sa.items())),
-        )
+    def jitted(*args, **sa):
+        return jitted_inner(*args, tuple(sorted(sa.items())))
 
     return optimizer, jitted
 
@@ -219,6 +256,7 @@ def train_population(
     minimization_metric: str | None = None,
     maximization_metric: str = "average_viable_recall",
     target_minimization: float = 0.9,
+    steps_per_call: int = 1,
 ):
     """Trains a population; returns (stacked variables, history[, selection]).
 
@@ -262,6 +300,12 @@ def train_population(
     optimizer, step_fn = make_population_train_step(
         bundle, packed, batch_size, features_length, mesh=mesh
     )
+    chunk_fn = None
+    if steps_per_call > 1:
+        _, chunk_fn = make_population_train_step(
+            bundle, packed, batch_size, features_length, mesh=mesh,
+            steps_per_call=steps_per_call,
+        )
     opt_state = jax.vmap(optimizer.init)(params)
 
     # Per-member PRNG streams: member i uses fold_in(stream, seeds[i]).
@@ -331,11 +375,28 @@ def train_population(
         return val_records
 
     history = []
-    for step in range(1, steps + 1):
-        step_keys = jax.vmap(lambda k: jax.random.fold_in(k, step))(member_keys)
-        params, batch_stats, opt_state, metrics = step_fn(
-            params, batch_stats, opt_state, step_keys, lrs, pos_w, neg_w, **sa
-        )
+    step = 0
+    while step < steps:
+        # chain sub-steps only up to the next eval/record boundary so the
+        # recorded trajectory is identical to the unchained loop
+        if eval_interval:
+            boundary = min(steps, step + eval_interval - step % eval_interval)
+        else:
+            boundary = steps
+        if chunk_fn is not None and boundary - step >= steps_per_call:
+            params, batch_stats, opt_state, metrics = chunk_fn(
+                params, batch_stats, opt_state, member_keys, lrs, pos_w, neg_w,
+                jnp.int32(step), **sa
+            )
+            step += steps_per_call
+        else:
+            step += 1
+            step_keys = jax.vmap(
+                lambda k: jax.random.fold_in(k, step)
+            )(member_keys)
+            params, batch_stats, opt_state, metrics = step_fn(
+                params, batch_stats, opt_state, step_keys, lrs, pos_w, neg_w, **sa
+            )
         if (eval_interval and step % eval_interval == 0) or step == steps:
             record = {"step": step} | {k: np.asarray(v) for k, v in metrics.items()}
             if select:

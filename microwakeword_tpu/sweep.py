@@ -148,6 +148,7 @@ def main(argv=None):
             "maximization_metric", "average_viable_recall"
         ),
         target_minimization=float(config.get("target_minimization", 0.9)),
+        steps_per_call=int(config.get("steps_per_call", 1)),
     )
     if validation is None:
         variables, history = result

@@ -264,3 +264,38 @@ def test_tflite_model_accuracy_semantics(exported, tmp_path):
         ma["false_accepts_per_hour"]
     )
     assert (tmp_path / "out" / "amb.txt").exists()
+
+
+def test_manifest_generation(tmp_path):
+    """ESPHome manifest v2: cutoff picked at the FAH target, schema complete."""
+    import json
+
+    from microwakeword_tpu.export import manifest as M
+
+    tflite = tmp_path / "wake.tflite"
+    tflite.write_bytes(b"\0" * 19456)
+
+    # faph falls below 0.5 first at cutoff index 97 on the 101-point grid
+    faph = np.linspace(40.0, 0.0, 101)
+    assert M.recommended_cutoff({"faph_at_cutoffs": faph}, 0.5) == 0.99
+    faph2 = np.zeros(101)
+    assert M.recommended_cutoff({"faph_at_cutoffs": faph2}, 0.5) == 0.0
+    # nothing meets the target -> strictest cutoff
+    assert M.recommended_cutoff({"faph_at_cutoffs": np.full(101, 9.9)}, 0.5) == 1.0
+
+    path = M.write_manifest(
+        str(tflite), wake_word="okay nabu", probability_cutoff=0.97,
+        sliding_window_size=5, feature_step_size=10,
+    )
+    with open(path) as f:
+        data = json.load(f)
+    assert data["type"] == "micro" and data["version"] == 2
+    assert data["wake_word"] == "okay nabu"
+    assert data["model"] == "wake.tflite"
+    micro = data["micro"]
+    assert micro["probability_cutoff"] == 0.97
+    assert micro["sliding_window_size"] == 5
+    assert micro["feature_step_size"] == 10
+    assert micro["tensor_arena_size"] >= 19456  # flatbuffer + headroom
+    assert micro["tensor_arena_size"] % 1024 == 0
+    assert micro["minimum_esphome_version"]

@@ -195,3 +195,42 @@ def test_population_selection_and_leaderboard():
     np.testing.assert_allclose(
         vm["ambient_false_positives_per_hour"], lb[0]["minimization"], atol=1e-6
     )
+
+
+def test_population_chained_matches_unchained():
+    """steps_per_call chaining equals the per-step loop (same
+    fold_in(member_key, step) key derivation inside the scan; scan-vs-
+    standalone compilation reassociates float math -> ~1e-6 noise, same
+    tolerance as the vmap-vs-solo test above)."""
+    bundle = build_model("mixednet", _cfg())
+    packed = _packed()
+    n, seeds, lrs = 2, [3, 4], [0.01, 0.005]
+
+    kw = dict(
+        n_models=n, steps=10, batch_size=8, features_length=20,
+        seeds=seeds, learning_rates=lrs, sample_seed=11, eval_interval=5,
+    )
+    plain, hist_plain = train_population(bundle, packed, **kw)
+    chained, hist_chained = train_population(
+        bundle, packed, steps_per_call=5, **kw
+    )
+    for a, b in zip(jax.tree.leaves(plain["params"]), jax.tree.leaves(chained["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
+    # boundary metrics recorded at the same steps
+    assert [h["step"] for h in hist_plain] == [h["step"] for h in hist_chained]
+    for hp, hc in zip(hist_plain, hist_chained):
+        np.testing.assert_allclose(hp["loss"], hc["loss"], rtol=1e-5)
+
+
+def test_population_chained_mesh_runs():
+    """Chained population step executes on the sharded mesh path."""
+    bundle = build_model("mixednet", _cfg())
+    packed = _packed()
+    mesh = create_mesh()
+    n = mesh.devices.size
+    variables, history = train_population(
+        bundle, packed, n_models=n, steps=12, batch_size=8,
+        features_length=20, mesh=mesh, steps_per_call=4, eval_interval=6,
+    )
+    assert [h["step"] for h in history] == [6, 12]
+    assert np.isfinite(history[-1]["loss"]).all()
