@@ -14,8 +14,11 @@ Prints ONE JSON line:
   device on a virtual CPU mesh (subprocess; single real chip available).
 
 vs_baseline divides the headline by the reference's measured END-TO-END hot
-loop on this host (tests/golden/reference_baseline.json "end_to_end":
+loop on this host (tests/golden/reference_baseline.json "end_to_end*":
 FeatureHandler.get_data batch assembly + train_on_batch, train.py:249-299).
+Best-vs-best: the headline is our fastest measured fused config (batch 128
+or 256) and the denominator is the reference's fastest recorded end-to-end
+rate over its measured batch sizes (it peaks at 128).
 vs_baseline_train_on_batch uses the assembly-free number (generous to the
 reference).
 """
@@ -28,6 +31,19 @@ import sys
 import time
 
 import numpy as np
+
+
+def _fence(x):
+    """Synchronization fence: host-readback of one scalar derived from x.
+
+    jax.block_until_ready proved unreliable over the axon TPU tunnel
+    (sometimes returns before execution finishes, yielding impossible
+    timings); a device->host transfer of a dependent scalar is a true
+    barrier.  x may be any pytree of arrays."""
+    import jax
+
+    leaf = jax.tree.leaves(x)[0]
+    np.asarray(jax.numpy.ravel(leaf)[0])
 
 
 def _flagship_model():
@@ -128,14 +144,14 @@ def _run_train_loop(bundle, variables, packed, cfg, steps, batch, chunk=50,
         params, batch_stats, opt_state, m = step(
             params, batch_stats, opt_state, jax.random.PRNGKey(i), **_PHASE_KW
         )
-    jax.block_until_ready(params)
+    _fence(params)
     n_calls = max(1, steps // chunk)
     t0 = time.perf_counter()
     for i in range(n_calls):
         params, batch_stats, opt_state, m = step(
             params, batch_stats, opt_state, jax.random.PRNGKey(100 + i), **_PHASE_KW
         )
-    jax.block_until_ready(params)
+    _fence(params)
     return (time.perf_counter() - t0) / (n_calls * chunk)
 
 
@@ -191,14 +207,14 @@ def measure_population(n_models: int, steps: int, batch: int, chunk: int = 25):
         variables["params"], variables["batch_stats"], opt_state, keys, *args,
         jnp.int32(0), **kw
     )
-    jax.block_until_ready(p)
+    _fence(p)
     n_calls = max(1, steps // chunk)
     t0 = time.perf_counter()
     for i in range(n_calls):
         p, bs, os_, m = step(
             p, bs, os_, keys, *args, jnp.int32((i + 1) * chunk), **kw
         )
-    jax.block_until_ready(p)
+    _fence(p)
     dt = (time.perf_counter() - t0) / (n_calls * chunk)
     return {
         "n_models": n_models,
@@ -223,11 +239,14 @@ def measure_frontend(reps: int, batch: int = 256, clip_s: float = 10.0,
 
     audio_j = jnp.asarray(audio)
     out = fmod.frontend_batch(audio_j, step_ms=10)
-    jax.block_until_ready(out)
+    _fence(out)
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fmod.frontend_batch(audio_j, step_ms=10)
-    jax.block_until_ready(out)
+    for i in range(reps):
+        # vary the input each rep: identical (program, args) pairs risk
+        # result reuse over the tunnel, and a data dependency between reps
+        # is not needed for throughput (the chip serializes programs)
+        out = fmod.frontend_batch(audio_j + jnp.int16(i), step_ms=10)
+    _fence(out)
     dt = (time.perf_counter() - t0) / reps
     return {
         "audio_seconds_per_sec": batch * clip_s / dt,
@@ -325,6 +344,24 @@ def main():
         return measure_fused_pipeline(steps, batch=args.batch)
 
     fused = phase("fused pipeline", run_fused)
+    if fused:
+        fused["batch"] = args.batch
+    fused_b256 = None
+    if backend == "tpu" and args.batch != 256:
+        # batch 256 amortizes per-kernel overhead better on the real chip
+        # (best-vs-best: the reference's own throughput PEAKS at batch 128,
+        # see tests/golden/reference_baseline.json end_to_end_b256)
+        fused_b256 = phase(
+            "fused pipeline (batch 256)",
+            lambda: measure_fused_pipeline(steps, batch=256),
+        )
+        if fused_b256:
+            fused_b256["batch"] = 256
+        if fused_b256 and (fused is None or
+                           fused_b256["audio_seconds_per_sec"]
+                           > fused["audio_seconds_per_sec"]):
+            fused, fused_b256 = fused_b256, fused
+            log("[bench] batch 256 wins the fused headline")
     fused_pallas = None
     if backend == "tpu":
         fused_pallas = phase(
@@ -335,6 +372,7 @@ def main():
         if fused_pallas and (fused is None or
                              fused_pallas["audio_seconds_per_sec"]
                              > fused["audio_seconds_per_sec"]):
+            fused_pallas["batch"] = args.batch
             fused, fused_pallas = fused_pallas, fused
             log("[bench] pallas frontend wins the fused headline")
     train = phase("train", lambda: measure_train(steps, batch=args.batch))
@@ -385,9 +423,14 @@ def main():
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             baseline = json.load(f)
-    e2e_rate = (baseline or {}).get("end_to_end", {}).get(
-        "audio_seconds_per_sec", 5418.0
-    )
+    # best-vs-best: our fastest fused config against the reference's fastest
+    # recorded end-to-end rate over all measured batch sizes
+    e2e_rates = [
+        v.get("audio_seconds_per_sec")
+        for k, v in (baseline or {}).items()
+        if k.startswith("end_to_end") and isinstance(v, dict)
+    ]
+    e2e_rate = max([r for r in e2e_rates if r] or [5418.0])
     tob_rate = (baseline or {}).get("audio_seconds_per_sec", 7641.0)
 
     result = {
@@ -400,7 +443,11 @@ def main():
         "vs_baseline": round(headline / e2e_rate, 2),
         "vs_baseline_train_on_batch": round(headline / tob_rate, 2),
         "backend": backend,
+        "headline_batch": (fused or train).get("batch", args.batch),
         "fused_steps_per_sec": round(fused["steps_per_sec"], 2) if fused else None,
+        "fused_alt_batch_audio_s_per_s": (
+            round(fused_b256["audio_seconds_per_sec"], 1) if fused_b256 else None
+        ),
         "fused_alt_frontend_audio_s_per_s": (
             round(fused_pallas["audio_seconds_per_sec"], 1) if fused_pallas else None
         ),

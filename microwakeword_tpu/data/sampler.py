@@ -343,8 +343,7 @@ def sample_audio_feature_batch(
         )  # [B, L, 480]
         sf = F.scaled_filterbank(frames)
         est0 = jnp.zeros(sf.shape[:-2] + (sf.shape[-1],), jnp.float32)
-        feats, _ = F.frontend_streaming(jnp.moveaxis(sf, -2, 0), est0)
-        feats = jnp.moveaxis(feats, 0, -2)  # [B, L, 40]
+        feats, _ = F.frontend_streaming(sf, est0, axis=-2)  # [B, L, 40]
 
     if time_mask_count or freq_mask_count:
         feats = apply_spec_augment(

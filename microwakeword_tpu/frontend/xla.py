@@ -97,23 +97,24 @@ def _agc_step(est, s, smoothing):
 
 
 def frontend_streaming(
-    sf: jnp.ndarray, noise_estimate: jnp.ndarray
+    sf: jnp.ndarray, noise_estimate: jnp.ndarray, axis: int = 0
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """AGC over precomputed scaled-filterbank amps with explicit state.
 
-    sf: [T, ..., 40] (time-major); noise_estimate: [..., 40].
-    Returns (features [T, ..., 40] float32 in [0, 26], final estimate).
+    sf: [..., 40] with time on ``axis`` (default 0, time-major);
+    noise_estimate: sf's shape without the time axis.
+    Returns (features float32 in [0, 26] shaped like sf, final estimate).
 
     The noise-estimate EMA est_t = (1-s)*est_{t-1} + s*x_t is a first-order
     linear recurrence, so it is evaluated with an associative scan
     (O(log T) depth) instead of a sequential T-step scan; everything after
-    the EMA is elementwise over [T, ..., 40].  ~1 XLA op per log2(T) rather
-    than ~20 tiny ops per hop -- the sequential form was the frontend's
-    bottleneck on TPU.
+    the EMA is elementwise over sf.  ~1 XLA op per log2(T) rather than ~20
+    tiny ops per hop -- the sequential form was the frontend's bottleneck
+    on TPU.  Callers with batch-major [B, T, 40] data pass axis=-2 so no
+    transposes are materialized around the scan.
     """
     _, _, _, smoothing = _dft_mel_constants()
-    t = sf.shape[0]
-    if t == 0:
+    if sf.shape[axis] == 0:
         return sf * FEATURE_SCALE, noise_estimate
 
     # EMA as associative scan over pairs (a, b): est_t = a*est_prev + b.
@@ -125,11 +126,16 @@ def frontend_streaming(
         a2, b2 = right
         return a1 * a2, a2 * b1 + b2
 
-    a_acc, b_acc = jax.lax.associative_scan(combine, (a, b), axis=0)
-    est = a_acc * noise_estimate + b_acc  # [T, ..., 40]
+    a_acc, b_acc = jax.lax.associative_scan(combine, (a, b), axis=axis)
+    if axis in (0, -sf.ndim):
+        est = a_acc * noise_estimate + b_acc
+        final = est[-1]
+    else:
+        est = a_acc * jnp.expand_dims(noise_estimate, axis) + b_acc
+        final = jnp.take(est, est.shape[axis] - 1, axis=axis)
 
     feats = _agc_output(sf, est)
-    return feats * FEATURE_SCALE, est[-1]
+    return feats * FEATURE_SCALE, final
 
 
 def _agc_output(s: jnp.ndarray, est: jnp.ndarray) -> jnp.ndarray:
@@ -162,8 +168,8 @@ def frontend_batch(audio: jnp.ndarray, step_ms: int = 10) -> jnp.ndarray:
     frames = frame_audio(audio, step_ms)  # [B, T, 480]
     sf = scaled_filterbank(frames)  # [B, T, 40]
     est0 = jnp.zeros(sf.shape[:-2] + (NUM_CHANNELS,), jnp.float32)
-    feats, _ = frontend_streaming(jnp.moveaxis(sf, -2, 0), est0)
-    return jnp.moveaxis(feats, 0, -2)
+    feats, _ = frontend_streaming(sf, est0, axis=-2)
+    return feats
 
 
 def streaming_state_init(batch_shape: tuple = ()) -> jnp.ndarray:

@@ -199,6 +199,10 @@ def measure_end_to_end(model, spectrogram_length, batch, steps):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--batch", type=int, default=128,
+                    help="batch size; 128 writes the canonical record, other "
+                         "values add an end_to_end_b{N} entry (so our bench "
+                         "can compare same-batch configurations honestly)")
     args = ap.parse_args()
 
     flags = flagship_flags()
@@ -207,28 +211,36 @@ def main():
     spectrogram_length = final + dropped
     print(f"spectrogram_length={spectrogram_length} (final={final}, dropped={dropped})")
 
-    batch = 128
+    batch = args.batch
     model = build_model(spectrogram_length, batch)
     tob = measure_train_on_batch(model, spectrogram_length, batch, args.steps)
     print("train_on_batch:", json.dumps(tob))
     e2e = measure_end_to_end(model, spectrogram_length, batch, args.steps)
     print("end_to_end:", json.dumps(e2e))
 
-    result = {
-        "hardware": "host CPU (TF 2.21, oneDNN)",
-        "batch": batch,
-        "spectrogram_length": spectrogram_length,
-        # legacy top-level fields = train_on_batch (what bench.py's
-        # vs_baseline has always divided by)
-        "what": tob["what"],
-        "step_seconds": tob["step_seconds"],
-        "steps_per_sec": tob["steps_per_sec"],
-        "audio_seconds_per_sec": tob["audio_seconds_per_sec"],
-        "train_on_batch": tob,
-        "end_to_end": e2e,
-    }
     out = os.path.join(os.path.dirname(__file__), "..", "tests", "golden",
                        "reference_baseline.json")
+    result = {}
+    if os.path.exists(out):
+        with open(out) as f:
+            result = json.load(f)
+    if batch == 128:
+        result.update({
+            "hardware": "host CPU (TF 2.21, oneDNN)",
+            "batch": batch,
+            "spectrogram_length": spectrogram_length,
+            # legacy top-level fields = train_on_batch (what bench.py's
+            # vs_baseline has always divided by)
+            "what": tob["what"],
+            "step_seconds": tob["step_seconds"],
+            "steps_per_sec": tob["steps_per_sec"],
+            "audio_seconds_per_sec": tob["audio_seconds_per_sec"],
+            "train_on_batch": tob,
+            "end_to_end": e2e,
+        })
+    else:
+        result[f"train_on_batch_b{batch}"] = tob
+        result[f"end_to_end_b{batch}"] = e2e
     with open(out, "w") as f:
         json.dump(result, f, indent=2)
     print(f"wrote {os.path.normpath(out)}")
