@@ -100,6 +100,12 @@ class MixConv(nn.Module):
     weights are zero-masked so group g only sees its most recent k_g taps --
     one fused op, one ring buffer, and the mask keeps masked taps at exactly
     zero through training (zero gradient).
+
+    The reference's per-branch DepthwiseConv2D keeps Keras' default
+    use_bias=True (mixednet.py:209), but every MixConv output immediately
+    feeds a bias-free 1x1 conv followed by BatchNorm, whose beta absorbs any
+    constant channel shift -- the depthwise bias is redundant and is
+    deliberately omitted here.
     """
 
     kernel_sizes: Sequence[int]

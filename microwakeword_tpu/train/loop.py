@@ -271,6 +271,31 @@ def _save(path: str, pytree) -> None:
         f.write(flax.serialization.to_bytes(pytree))
 
 
+def model_summary(variables: dict) -> str:
+    """Per-layer parameter table (the reference saves Keras model.summary()
+    next to the weights, utils.py:131-145; this is the pytree equivalent)."""
+    lines = [f"{'layer':<60} {'shape':<20} {'params':>10}"]
+    lines.append("-" * 92)
+    total = 0
+    for coll in ("params", "batch_stats"):
+        if coll not in variables:
+            continue
+        flat = jax.tree_util.tree_flatten_with_path(variables[coll])[0]
+        for path, leaf in flat:
+            name = "/".join(
+                getattr(p, "key", getattr(p, "idx", None)) or str(p) for p in path
+            )
+            n = int(np.prod(leaf.shape)) if leaf.shape else 1
+            if coll == "params":
+                total += n
+            lines.append(
+                f"{coll + ':' + name:<60} {str(tuple(leaf.shape)):<20} {n:>10,}"
+            )
+    lines.append("-" * 92)
+    lines.append(f"Total trainable params: {total:,}")
+    return "\n".join(lines)
+
+
 def _load(path: str, template):
     with open(path, "rb") as f:
         return flax.serialization.from_bytes(template, f.read())
@@ -308,6 +333,8 @@ def train(
     rng = jax.random.PRNGKey(int(config.get("seed", 0)))
     variables = bundle.init(rng)
     params, batch_stats = variables["params"], variables["batch_stats"]
+    with open(os.path.join(train_dir, "model_summary.txt"), "w") as f:
+        f.write(model_summary(variables) + "\n")
 
     packed = (
         feature_handler.pack_training_audio()
@@ -404,6 +431,7 @@ def train(
     best_min = 10000.0
     best_max = 0.0
     best_no_faph_cutoff = 1.0
+    saturated_evals = 0  # consecutive evals with degenerate selection metrics
     minimization_metric = config.get("minimization_metric")
     maximization_metric = config.get("maximization_metric", "average_viable_recall")
     target_min = float(config.get("target_minimization", 0.9))
@@ -496,6 +524,30 @@ def train(
                     ),
                     {"params": params, "batch_stats": batch_stats},
                 )
+                # Degenerate-selection watchdog: once faph==0 AND
+                # average_viable_recall==1.0, every later eval ties and
+                # is_new_best() freezes 'best' at the first such eval --
+                # the validation-ambient set is too small/easy to rank
+                # checkpoints (reference semantics preserved,
+                # train.py:411-442; see documentation/parity.md finding 4).
+                if (
+                    minimization_metric
+                    and current_min == 0.0
+                    and float(val_metrics.get("average_viable_recall", 0.0)) >= 1.0
+                ):
+                    saturated_evals += 1
+                    if saturated_evals == 3:
+                        print(
+                            "WARNING: validation metrics saturated "
+                            f"({minimization_metric}=0 and average_viable_recall"
+                            "=1.0 for 3 consecutive evals) -- best-checkpoint "
+                            "selection is frozen at the first saturated eval. "
+                            "Use longer/harder validation_ambient audio so "
+                            "selection stays informative.",
+                            flush=True,
+                        )
+                else:
+                    saturated_evals = 0
                 if M.is_new_best(current_min, current_max, best_min, best_max, target_min):
                     best_min, best_max = current_min, current_max
                     best_no_faph_cutoff = val_metrics["cutoff_for_no_faph"]
