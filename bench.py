@@ -120,10 +120,33 @@ _PHASE_KW = dict(
 )
 
 
+REPS = 5  # timing samples per phase (median + IQR reported)
+
+
+def _sample_stats(samples):
+    """Median + IQR over repeated timing samples (seconds per unit).
+
+    One mean over one long run (rounds 1-2) made regressions and tunnel
+    noise indistinguishable (VERDICT r2 weak #4); the IQR/median ratio now
+    quantifies run-to-run spread per phase.
+    """
+    a = np.asarray(samples, dtype=float)
+    med = float(np.median(a))
+    q1, q3 = np.percentile(a, [25, 75])
+    return {
+        "median": med,
+        "iqr": float(q3 - q1),
+        "iqr_pct_of_median": round(100.0 * (q3 - q1) / med, 1) if med else None,
+        "n_samples": len(a),
+        "samples": [round(float(s), 6) for s in a],
+    }
+
+
 def _run_train_loop(bundle, variables, packed, cfg, steps, batch, chunk=50,
-                    mesh=None, frontend_backend="xla"):
+                    mesh=None, frontend_backend="xla", reps=REPS):
     """Times the fused step (precomputed features OR raw audio, by packed
-    type) chained `chunk` steps per XLA call.  Returns seconds/step."""
+    type) chained `chunk` steps per XLA call.  Returns a list of `reps`
+    seconds/step samples (each timing `steps`/reps steps)."""
     import jax
 
     from microwakeword_tpu.train.loop import make_train_step
@@ -145,37 +168,51 @@ def _run_train_loop(bundle, variables, packed, cfg, steps, batch, chunk=50,
             params, batch_stats, opt_state, jax.random.PRNGKey(i), **_PHASE_KW
         )
     _fence(params)
-    n_calls = max(1, steps // chunk)
-    t0 = time.perf_counter()
-    for i in range(n_calls):
-        params, batch_stats, opt_state, m = step(
-            params, batch_stats, opt_state, jax.random.PRNGKey(100 + i), **_PHASE_KW
-        )
-    _fence(params)
-    return (time.perf_counter() - t0) / (n_calls * chunk)
+    calls_per_rep = max(1, steps // (chunk * reps))
+    samples = []
+    k = 0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(calls_per_rep):
+            params, batch_stats, opt_state, m = step(
+                params, batch_stats, opt_state, jax.random.PRNGKey(100 + k),
+                **_PHASE_KW,
+            )
+            k += 1
+        _fence(params)
+        samples.append((time.perf_counter() - t0) / (calls_per_rep * chunk))
+    return samples
 
 
 def measure_train(steps: int, batch: int):
     cfg, bundle, variables = _flagship_model()
-    dt = _run_train_loop(bundle, variables, _synthetic_packed(cfg), cfg, steps, batch)
+    samples = _run_train_loop(
+        bundle, variables, _synthetic_packed(cfg), cfg, steps, batch
+    )
+    stats = _sample_stats(samples)
+    dt = stats["median"]
     return {
         "steps_per_sec": 1.0 / dt,
         "audio_seconds_per_sec": batch * cfg.spectrogram_length * 0.010 / dt,
         "spectrogram_length": cfg.spectrogram_length,
         "batch": batch,
+        "stats": stats,
     }
 
 
 def measure_fused_pipeline(steps: int, batch: int, frontend_backend: str = "xla"):
     """The headline: raw PCM sampling + frontend + train in ONE program."""
     cfg, bundle, variables = _flagship_model()
-    dt = _run_train_loop(
+    samples = _run_train_loop(
         bundle, variables, _synthetic_packed_audio(cfg), cfg, steps, batch,
         frontend_backend=frontend_backend,
     )
+    stats = _sample_stats(samples)
+    dt = stats["median"]
     return {
         "steps_per_sec": 1.0 / dt,
         "audio_seconds_per_sec": batch * cfg.spectrogram_length * 0.010 / dt,
+        "stats": stats,
     }
 
 
@@ -208,23 +245,39 @@ def measure_population(n_models: int, steps: int, batch: int, chunk: int = 25):
         jnp.int32(0), **kw
     )
     _fence(p)
-    n_calls = max(1, steps // chunk)
-    t0 = time.perf_counter()
-    for i in range(n_calls):
-        p, bs, os_, m = step(
-            p, bs, os_, keys, *args, jnp.int32((i + 1) * chunk), **kw
-        )
-    _fence(p)
-    dt = (time.perf_counter() - t0) / (n_calls * chunk)
+    calls_per_rep = max(1, steps // (chunk * REPS))
+    samples = []
+    k = 0
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        for _ in range(calls_per_rep):
+            p, bs, os_, m = step(
+                p, bs, os_, keys, *args, jnp.int32((k + 1) * chunk), **kw
+            )
+            k += 1
+        _fence(p)
+        samples.append((time.perf_counter() - t0) / (calls_per_rep * chunk))
+    stats = _sample_stats(samples)
+    dt = stats["median"]
     return {
         "n_models": n_models,
         "model_steps_per_sec": n_models / dt,
         "audio_seconds_per_sec": n_models * batch * cfg.spectrogram_length * 0.01 / dt,
+        "stats": stats,
     }
 
 
 def measure_frontend(reps: int, batch: int = 256, clip_s: float = 10.0,
-                     backend: str = "xla"):
+                     backend: str = "xla", vary_input: bool = True):
+    """Standalone batched PCM->features throughput.
+
+    vary_input=True (the honest number) perturbs the input each rep so
+    identical (program, args) pairs cannot be served from any result cache
+    over the tunnel; the perturbation add itself is ~0.1 ms of HBM traffic.
+    vary_input=False repeats the IDENTICAL call -- reported separately to
+    quantify the caching effect (this is what round 1 measured, explaining
+    the r1->r2 frontend_xla swing: 103k vs 67k audio-s/s).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -240,17 +293,23 @@ def measure_frontend(reps: int, batch: int = 256, clip_s: float = 10.0,
     audio_j = jnp.asarray(audio)
     out = fmod.frontend_batch(audio_j, step_ms=10)
     _fence(out)
-    t0 = time.perf_counter()
-    for i in range(reps):
-        # vary the input each rep: identical (program, args) pairs risk
-        # result reuse over the tunnel, and a data dependency between reps
-        # is not needed for throughput (the chip serializes programs)
-        out = fmod.frontend_batch(audio_j + jnp.int16(i), step_ms=10)
-    _fence(out)
-    dt = (time.perf_counter() - t0) / reps
+    group = max(1, reps // REPS)
+    samples = []
+    k = 0
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        for _ in range(group):
+            x = audio_j + jnp.int16(k % 31) if vary_input else audio_j
+            out = fmod.frontend_batch(x, step_ms=10)
+            k += 1
+        _fence(out)
+        samples.append((time.perf_counter() - t0) / group)
+    stats = _sample_stats(samples)
+    dt = stats["median"]
     return {
         "audio_seconds_per_sec": batch * clip_s / dt,
         "batch_seconds": dt,
+        "stats": stats,
     }
 
 
@@ -383,8 +442,15 @@ def main():
         "frontend xla", lambda: measure_frontend(fe_reps, backend="xla"),
         fallback={"audio_seconds_per_sec": float("nan")},
     )
+    frontend_xla_cached = None
     frontend_pallas = None
     if backend == "tpu":
+        # same-input variant quantifies result-reuse over the tunnel (the
+        # r1->r2 frontend_xla swing diagnosis; see measure_frontend doc)
+        frontend_xla_cached = phase(
+            "frontend xla (same input)",
+            lambda: measure_frontend(fe_reps, backend="xla", vary_input=False),
+        )
         frontend_pallas = phase(
             "frontend pallas", lambda: measure_frontend(fe_reps, backend="pallas")
         )
@@ -415,6 +481,27 @@ def main():
         dp = phase("dp virtual scaling", run_dp)
 
     headline = (fused or train)["audio_seconds_per_sec"]
+
+    # variance accounting: flag phases whose IQR exceeds 20% of the median
+    phase_stats = {}
+    noisy_phases = []
+    for name, rec in (
+        ("fused", fused), ("fused_alt_batch", fused_b256),
+        ("fused_pallas", fused_pallas), ("train", train),
+        ("frontend_xla", frontend_xla),
+        ("frontend_xla_same_input", frontend_xla_cached),
+        ("frontend_pallas", frontend_pallas), ("sweep8", sweep),
+    ):
+        s = (rec or {}).get("stats")
+        if not s:
+            continue
+        phase_stats[name] = {
+            k: s[k] for k in ("median", "iqr", "iqr_pct_of_median", "n_samples")
+        }
+        if s["iqr_pct_of_median"] and s["iqr_pct_of_median"] > 20.0:
+            noisy_phases.append(name)
+            log(f"[bench] WARNING: phase '{name}' is noisy: IQR "
+                f"{s['iqr_pct_of_median']}% of median (samples {s['samples']})")
 
     baseline_path = os.path.join(
         os.path.dirname(__file__), "tests", "golden", "reference_baseline.json"
@@ -454,6 +541,11 @@ def main():
         "train_audio_s_per_s": round(train["audio_seconds_per_sec"], 1),
         "train_steps_per_sec": round(train["steps_per_sec"], 2),
         "frontend_xla_audio_s_per_s": round(frontend_xla["audio_seconds_per_sec"], 1),
+        "frontend_xla_same_input_audio_s_per_s": (
+            round(frontend_xla_cached["audio_seconds_per_sec"], 1)
+            if frontend_xla_cached
+            else None
+        ),
         "frontend_pallas_audio_s_per_s": (
             round(frontend_pallas["audio_seconds_per_sec"], 1)
             if frontend_pallas
@@ -461,6 +553,8 @@ def main():
         ),
         "sweep8_audio_s_per_s": round(sweep["audio_seconds_per_sec"], 1),
         "sweep8_model_steps_per_sec": round(sweep["model_steps_per_sec"], 1),
+        "phase_timing_stats": phase_stats,
+        "noisy_phases": noisy_phases,
         "dp_virtual": dp,
         "baseline": {
             "end_to_end_audio_seconds_per_sec": e2e_rate,

@@ -359,6 +359,88 @@ def sample_audio_feature_batch(
     return feats, labels, weights
 
 
+@flax.struct.dataclass
+class PackedMixedData:
+    """Mixed-provider raw-audio training corpus: clips-type providers as raw
+    audio (in-step frontend) + mmap providers as precomputed spectrograms,
+    in ONE jitted step (reference FeatureHandler mixes provider types freely
+    per sample, data.py:405-466).
+
+    The batch is split into two statically-sized sub-batches in proportion
+    to the provider classes' total sampling weight (``audio_fraction``), and
+    providers are drawn class-conditionally within each sub-batch: each
+    sample's marginal provider distribution matches the reference's
+    independent per-sample draw in expectation, with lower batch-composition
+    variance (the split is the binomial mean instead of a binomial draw).
+    """
+
+    audio: PackedAudioData
+    spec: PackedTrainingData
+    audio_fraction: float = flax.struct.field(pytree_node=False, default=0.5)
+
+
+def pack_mixed_data(providers, shard_index=None, shard_count=None):
+    """Packs a mixed provider list for raw-audio training.
+
+    - all providers clips-type -> PackedAudioData (pure fused-audio path)
+    - mixed                    -> PackedMixedData
+    - all mmap                 -> PackedTrainingData (plain spectrogram path)
+    """
+    audio_p = [p for p in providers if hasattr(p, "generate_audio_pool")]
+    spec_p = [p for p in providers if not hasattr(p, "generate_audio_pool")]
+    if not spec_p:
+        return pack_audio_data(providers, shard_index, shard_count)
+    if not audio_p:
+        return pack_training_data(providers, shard_index, shard_count)
+    w_audio = sum(p.sampling_weight for p in audio_p)
+    w_spec = sum(p.sampling_weight for p in spec_p)
+    return PackedMixedData(
+        audio=pack_audio_data(audio_p, shard_index, shard_count),
+        spec=pack_training_data(spec_p, shard_index, shard_count),
+        audio_fraction=float(w_audio / max(w_audio + w_spec, 1e-12)),
+    )
+
+
+def sample_mixed_batch(
+    data: PackedMixedData,
+    rng: jax.Array,
+    batch_size: int,
+    features_length: int,
+    time_mask_max_size: int = 0,
+    time_mask_count: int = 0,
+    freq_mask_max_size: int = 0,
+    freq_mask_count: int = 0,
+    frontend_backend: str = "xla",
+):
+    """One mixed batch on device: raw-audio sub-batch (windows -> in-step
+    frontend) concatenated with a precomputed-spectrogram sub-batch.
+    Sub-batch sizes are static (jit-time), proportional to provider weights.
+    """
+    b_audio = int(round(batch_size * data.audio_fraction))
+    b_audio = max(1, min(batch_size - 1, b_audio))
+    r_audio, r_spec = jax.random.split(rng)
+    fa, la, wa = sample_audio_feature_batch(
+        data.audio, r_audio, b_audio, features_length,
+        time_mask_max_size=time_mask_max_size,
+        time_mask_count=time_mask_count,
+        freq_mask_max_size=freq_mask_max_size,
+        freq_mask_count=freq_mask_count,
+        frontend_backend=frontend_backend,
+    )
+    fs, ls, ws = sample_batch(
+        data.spec, r_spec, batch_size - b_audio, features_length,
+        time_mask_max_size=time_mask_max_size,
+        time_mask_count=time_mask_count,
+        freq_mask_max_size=freq_mask_max_size,
+        freq_mask_count=freq_mask_count,
+    )
+    return (
+        jnp.concatenate([fa, fs], axis=0),
+        jnp.concatenate([la, ls], axis=0),
+        jnp.concatenate([wa, ws], axis=0),
+    )
+
+
 def sample_batch(
     data: PackedTrainingData,
     rng: jax.Array,

@@ -530,9 +530,12 @@ class FeatureHandler:
         return pack_training_data(self.providers, shard_index, shard_count)
 
     def pack_training_audio(self, shard_index=None, shard_count=None):
-        """Packs raw augmented audio pools for in-step frontend training
-        (config ``raw_audio_training: true``); requires every feature set to
-        be clips-type (data/sampler.py pack_audio_data)."""
-        from microwakeword_tpu.data.sampler import pack_audio_data
+        """Packs for in-step frontend training (config ``raw_audio_training:
+        true``).  clips-type sets contribute raw augmented audio; mmap sets
+        contribute precomputed spectrograms -- mixed configs (e.g. generated
+        positives + precomputed mmap negatives, like the reference's usual
+        recipe, data.py:405-466) train on the fused path via
+        sampler.PackedMixedData."""
+        from microwakeword_tpu.data.sampler import pack_mixed_data
 
-        return pack_audio_data(self.providers, shard_index, shard_count)
+        return pack_mixed_data(self.providers, shard_index, shard_count)

@@ -140,6 +140,14 @@ def make_train_step(
         sample = functools.partial(
             S.sample_audio_feature_batch, frontend_backend=frontend_backend
         )
+    elif isinstance(packed, S.PackedMixedData):
+        import functools
+
+        # mixed clips+mmap providers: raw-audio sub-batch with in-step
+        # frontend, concatenated with a precomputed-spectrogram sub-batch
+        sample = functools.partial(
+            S.sample_mixed_batch, frontend_backend=frontend_backend
+        )
     else:
         sample = S.sample_batch
 

@@ -1,24 +1,30 @@
 """Cross-framework ROC parity harness (BASELINE target #1).
 
 Builds one synthetic, TTS-free wake-word dataset (a two-chirp "wake
-pattern" vs. distractor bursts in noise, plus long ambient tracks), then:
+pattern" vs. distractor bursts in noise, plus long ambient tracks), then
+runs a MULTI-SEED study across three arms:
 
-1. computes spectrograms for the SAME audio twice -- with the true C
-   micro-frontend op (tensorflow.lite.experimental.microfrontend, what the
-   reference trains on) and with this repo's frontend;
-2. trains the reference (Keras/TF, microwakeword.train.train, CPU) on its
-   features and this framework (train/loop.py) on ours, with identical
-   hyperparameters;
-3. evaluates both with their own streamed ambient ROC
-   (reference test.py:293-403 via its TFLite export; ours via
-   evaluate.streaming_model_roc);
-4. writes tests/golden/roc_parity_report.json comparing FRR at FAPH
-   anchors and AUC.
+- ``ref``          reference trainer (Keras/TF CPU) on true-C-op features
+- ``ours_on_ref``  this repo's trainer on the IDENTICAL C-op feature
+                   stores (isolates the trainer)
+- ``ours``         this repo's trainer on this repo's frontend features
+                   (end-to-end: frontend -> training -> ROC transfer)
 
-Because both stacks start from different inits/RNGs, this checks
-*quality parity* (the frontend->training->ROC transfer), not bit equality.
+Each arm trains N independent seeds (fresh init + sampling RNG; the
+on-disk dataset is shared), evaluates best- and last-checkpoint streamed
+ambient ROC with its own evaluator (the evaluators were shown to agree
+exactly on the same model -- see evaluator_cross_check), and the report
+aggregates mean / 95% CI per metric with an explicit pass criterion:
 
-Run: python scripts/roc_parity.py [--quick] [--out report.json]
+    parity <=> 95% CIs overlap OR |delta mean| < 0.5 * pooled std
+
+Because the frameworks start from different inits/RNGs, this checks
+*quality parity*, not bit equality.
+
+Run:  python scripts/roc_parity.py --seeds 10        # full study (~1-2 h)
+      python scripts/roc_parity.py --quick --seeds 2 # smoke
+Per-seed results are cached in {workdir}/seed_results/ -- re-running with
+the same --workdir resumes.
 """
 import argparse
 import json
@@ -47,11 +53,23 @@ def _chirp(rng, f0, f1, dur_s, amp):
 
 
 def wake_pattern(rng):
-    """Up-chirp, gap, down-chirp -- the 'wake word' (~0.45 s)."""
+    """Up-chirp, gap, down-chirp -- the 'wake word' (~0.45 s).
+
+    The overall level is log-uniform over [0.1, 0.45]: quiet positives keep
+    validation recall (and hence average_viable_recall selection) away from
+    saturation and keep testing FRR off the floor, so checkpoint selection
+    and the FRR@2faph comparison both stay informative across a multi-seed
+    study (VERDICT r2 item 1).  (A 0.04 floor was tried first: positives at
+    SNR~1 vs the 0.008-0.04 noise floor act as label noise and neither
+    framework learns -- FRR@2faph ~0.93.)
+    """
+    level = float(np.exp(rng.uniform(np.log(0.1), np.log(0.45))))
     j = lambda: 1.0 + rng.uniform(-0.08, 0.08)
-    a = _chirp(rng, 800 * j(), 1600 * j(), 0.18 * j(), rng.uniform(0.1, 0.4))
+    a = _chirp(rng, 800 * j(), 1600 * j(), 0.18 * j(),
+               level * rng.uniform(0.7, 1.0))
     gap = np.zeros(int(rng.uniform(0.04, 0.08) * SR), np.float32)
-    b = _chirp(rng, 2600 * j(), 1800 * j(), 0.18 * j(), rng.uniform(0.1, 0.4))
+    b = _chirp(rng, 2600 * j(), 1800 * j(), 0.18 * j(),
+               level * rng.uniform(0.7, 1.0))
     return np.concatenate([a, gap, b])
 
 
@@ -246,22 +264,31 @@ MODEL_FLAGS = dict(
 )
 
 
-def train_config(root, train_dir, steps, batch):
+def train_config(root, train_dir, steps, batch, seed=0):
+    """steps: total step count; split 3:1 into a high-lr and a low-lr phase
+    (both frameworks support per-phase schedules) to tighten the
+    last-checkpoint distribution across seeds."""
+    phase1 = (3 * steps) // 4
     return {
         "train_dir": train_dir,
         "summaries_dir": os.path.join(train_dir, "logs"),
         "clip_duration_ms": 1500,
         "window_step_ms": 10,
         "batch_size": batch,
-        "training_steps": [steps],
-        "learning_rates": [0.001],
+        "seed": seed,
+        # chains 25 optimizer steps per XLA call on our side (per-step
+        # dispatch over the TPU tunnel would dominate otherwise); the
+        # reference trainer ignores this key
+        "steps_per_call": 25,
+        "training_steps": [phase1, steps - phase1],
+        "learning_rates": [0.001, 0.0002],
         "time_mask_max_size": [5],
         "time_mask_count": [2],
         "freq_mask_max_size": [5],
         "freq_mask_count": [2],
         "negative_class_weight": [1.0],
         "positive_class_weight": [1.0],
-        "eval_step_interval": max(50, steps // 5),
+        "eval_step_interval": max(50, steps // 10),
         # target is deliberately reachable on the synthetic task: once faph
         # drops below it, both frameworks select by average_viable_recall
         # (an unreachable target degenerates selection into "fires least").
@@ -273,7 +300,7 @@ def train_config(root, train_dir, steps, batch):
 
 
 # --------------------------- framework runs --------------------------------
-def run_ours(root, train_dir, steps, batch):
+def run_ours(root, train_dir, steps, batch, seed=0):
     from microwakeword_tpu.config import derive_config
     from microwakeword_tpu.data.store import FeatureHandler
     from microwakeword_tpu.evaluate import streaming_model_roc
@@ -283,7 +310,9 @@ def run_ours(root, train_dir, steps, batch):
 
     flags = types.SimpleNamespace(model_name="mixednet", **MODEL_FLAGS)
     model_cfg = model_config_from_flags(flags)
-    config = derive_config(train_config(root, train_dir, steps, batch), model_cfg)
+    config = derive_config(
+        train_config(root, train_dir, steps, batch, seed=seed), model_cfg
+    )
     bundle = build_model("mixednet", config["model_config"])
     fh = FeatureHandler(config)
     t0 = time.perf_counter()
@@ -310,8 +339,18 @@ def run_ours(root, train_dir, steps, batch):
     return out
 
 
-def run_reference(root, train_dir, steps, batch):
+def run_reference(root, train_dir, steps, batch, seed=0):
     install_shims()
+    import random as pyrandom
+
+    import tensorflow as tf
+
+    # The reference has no seed plumbing: its sampling uses the python
+    # `random` module and numpy's global RNG (data.py:540-569), its inits
+    # the TF global seed.  Seed all three per run.
+    pyrandom.seed(seed)
+    np.random.seed(seed % (2**32))
+    tf.random.set_seed(seed)
     from microwakeword import data as rdata
     from microwakeword import mixednet as rmixednet
     from microwakeword import test as rtest
@@ -325,7 +364,7 @@ def run_reference(root, train_dir, steps, batch):
     final = 1 + (16 * 1500 - 480) // (stride * 16 * 10)
     length = final + dropped
 
-    config = train_config(root, train_dir, steps, batch)
+    config = train_config(root, train_dir, steps, batch, seed=seed)
     config["spectrogram_length_final_layer"] = final
     config["spectrogram_length"] = length
     config["stride"] = stride
@@ -391,38 +430,42 @@ def run_reference(root, train_dir, steps, batch):
     return out
 
 
-def run_cross_checks(workdir, ref_root, steps, batch):
-    """Disentangles frontend / trainer / evaluator:
-
-    - converts the C-op feature stores to our format and trains OUR trainer
-      on them (isolates the trainer: same features as the reference saw);
-    - scores the reference's trained TFLite through OUR evaluator (the two
-      evaluators must agree on the same model).
-    """
+def convert_ref_features(workdir, ref_root):
+    """Converts the C-op feature stores into this repo's ragged-store format
+    (for the trainer-isolation arm).  Idempotent."""
     from pathlib import Path
 
-    from microwakeword_tpu.config import derive_config
     from microwakeword_tpu.data.ragged_store import RaggedSpectrogramStore
-    from microwakeword_tpu.data.store import FeatureHandler
-    from microwakeword_tpu.evaluate import streaming_model_roc
-    from microwakeword_tpu.export.tflite import TFLiteStreamingModel
-    from microwakeword_tpu.model_train_eval import model_config_from_flags
-    from microwakeword_tpu.models import build_model
-    from microwakeword_tpu.train import loop as training
 
     dst_root = os.path.join(workdir, "ref_features_ours_fmt")
+    marker = os.path.join(dst_root, ".done")
+    if os.path.exists(marker):
+        return dst_root
     for p in Path(ref_root).glob("**/x_mmap"):
         legacy = RaggedMmapShim(str(p))
         RaggedSpectrogramStore.create(
             str(Path(dst_root) / p.relative_to(ref_root)),
             (np.asarray(legacy[i], np.uint16) for i in range(len(legacy))),
         )
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return dst_root
 
+
+def evaluator_cross_check(workdir, ref_seed_dir, steps, batch):
+    """Scores the reference's trained TFLite through OUR evaluator: the two
+    evaluators must agree on the same model (so arm comparisons using each
+    framework's own evaluator are apples-to-apples)."""
+    from microwakeword_tpu.config import derive_config
+    from microwakeword_tpu.data.store import FeatureHandler
+    from microwakeword_tpu.evaluate import streaming_model_roc
+    from microwakeword_tpu.export.tflite import TFLiteStreamingModel
+    from microwakeword_tpu.model_train_eval import model_config_from_flags
+    from microwakeword_tpu.models import build_model
+
+    dst_root = convert_ref_features(workdir, os.path.join(workdir, "ref_features"))
     flags = types.SimpleNamespace(model_name="mixednet", **MODEL_FLAGS)
     cfg = model_config_from_flags(flags)
-    out = {}
-
-    # reference model through OUR evaluator
     config = derive_config(
         train_config(dst_root, os.path.join(workdir, "xcheck"), steps, batch), cfg
     )
@@ -431,9 +474,10 @@ def run_cross_checks(workdir, ref_root, steps, batch):
     import jax
 
     dummy = bundle.init(jax.random.PRNGKey(0))
+    out = {}
     for which in ("best", "last"):
         path = os.path.join(
-            workdir, "run_ref", f"tflite_stream_state_internal_{which}",
+            ref_seed_dir, f"tflite_stream_state_internal_{which}",
             "stream_state_internal.tflite",
         )
         if not os.path.exists(path):
@@ -446,27 +490,6 @@ def run_cross_checks(workdir, ref_root, steps, batch):
 
         r = streaming_model_roc(bundle, dummy, fh, config, stream_fn=stream_fn)
         out[f"reference_{which}_through_our_evaluator"] = {
-            "auc": float(r["auc"]),
-            "frr_at_2faph": frr_at(list(r["x_faph"]), list(r["y_frr"]), 2.0),
-        }
-
-    # OUR trainer on the C-op features
-    config = derive_config(
-        train_config(
-            dst_root, os.path.join(workdir, "run_ours_on_ref_feats"), steps, batch
-        ),
-        cfg,
-    )
-    bundle = build_model("mixednet", config["model_config"])
-    fh = FeatureHandler(config)
-    training.train(bundle, config, fh)
-    for which in ("best", "last"):
-        variables = training.load_weights(
-            bundle,
-            os.path.join(workdir, "run_ours_on_ref_feats", f"{which}_weights.msgpack"),
-        )
-        r = streaming_model_roc(bundle, variables, fh, config)
-        out[f"ours_on_c_features_{which}"] = {
             "auc": float(r["auc"]),
             "frr_at_2faph": frr_at(list(r["x_faph"]), list(r["y_frr"]), 2.0),
         }
@@ -495,16 +518,257 @@ def frr_at(faph, frr, anchor):
     return best
 
 
+# --------------------------- study orchestration ----------------------------
+ANCHORS = [0.5, 1.0, 2.0]
+ARMS = ("ref", "ours_on_ref", "ours")
+
+
+def study_sizes(quick):
+    if quick:
+        return {
+            "clips": {"training": (120, 120), "validation": (40, 40),
+                      "testing": (40, 40)},
+            "validation_ambient_s": [120.0, 120.0],
+            "testing_ambient_s": [120.0] * 4,
+        }
+    # validation_ambient 30 min (faph quantum 2.0 at one accept) and
+    # testing_ambient 60 min (quantum 1.0) keep checkpoint selection and
+    # the FRR@2faph comparison off the resolution floor.
+    return {
+        "clips": {"training": (500, 500), "validation": (200, 200),
+                  "testing": (240, 240)},
+        "validation_ambient_s": [600.0] * 3,
+        "testing_ambient_s": [300.0] * 12,
+    }
+
+
+def ensure_dataset(workdir, sizes):
+    """Generates the audio and both feature roots once per workdir."""
+    marker = os.path.join(workdir, ".features_done")
+    if os.path.exists(marker):
+        return
+    os.makedirs(workdir, exist_ok=True)
+    rng = np.random.default_rng(20260820)
+    t0 = time.perf_counter()
+    data = build_dataset(rng, sizes)
+    print(f"audio generated {time.perf_counter()-t0:.0f}s", file=sys.stderr)
+
+    from microwakeword_tpu.data.ragged_store import RaggedSpectrogramStore
+
+    write_stores(
+        os.path.join(workdir, "ours_features"), features_ours, data,
+        RaggedSpectrogramStore,
+    )
+    print(f"our features {time.perf_counter()-t0:.0f}s", file=sys.stderr)
+    install_shims()
+    write_stores(
+        os.path.join(workdir, "ref_features"), features_c_op, data,
+        RaggedMmapShim,
+    )
+    print(f"C-op features {time.perf_counter()-t0:.0f}s", file=sys.stderr)
+    convert_ref_features(workdir, os.path.join(workdir, "ref_features"))
+    with open(marker, "w") as f:
+        f.write("ok\n")
+
+
+def summarize(result):
+    """Per-seed record: FRR at the FAPH anchors + AUC for best and last."""
+    out = {"train_seconds": result["train_seconds"]}
+    for which in ("best", "last"):
+        r = result[which]
+        out[which] = {
+            "auc": r["auc"],
+            "frr_at_faph": {
+                str(a): frr_at(r["faph"], r["frr"], a) for a in ANCHORS
+            },
+        }
+    return out
+
+
+def run_one(arm, seed, workdir, steps, batch):
+    """Trains + evaluates one seed of one arm; writes the per-seed json."""
+    res_dir = os.path.join(workdir, "seed_results")
+    os.makedirs(res_dir, exist_ok=True)
+    out_path = os.path.join(res_dir, f"{arm}_{seed}.json")
+    if os.path.exists(out_path):
+        return out_path
+    train_dir = os.path.join(workdir, "runs", f"{arm}_{seed}")
+    if arm == "ref":
+        result = run_reference(
+            os.path.join(workdir, "ref_features"), train_dir, steps, batch,
+            seed=seed,
+        )
+    elif arm == "ours_on_ref":
+        result = run_ours(
+            os.path.join(workdir, "ref_features_ours_fmt"), train_dir, steps,
+            batch, seed=seed,
+        )
+    elif arm == "ours":
+        result = run_ours(
+            os.path.join(workdir, "ours_features"), train_dir, steps, batch,
+            seed=seed,
+        )
+    else:
+        raise ValueError(f"unknown arm {arm}")
+    record = {"arm": arm, "seed": seed, **summarize(result)}
+    with open(out_path, "w") as f:
+        json.dump(record, f, indent=2)
+    return out_path
+
+
+# --------------------------- statistics --------------------------------------
+def _stats(values):
+    import scipy.stats as st
+
+    a = np.asarray(values, dtype=float)
+    n = len(a)
+    mean = float(a.mean())
+    std = float(a.std(ddof=1)) if n > 1 else 0.0
+    half = float(st.t.ppf(0.975, n - 1) * std / np.sqrt(n)) if n > 1 else 0.0
+    return {
+        "n": n,
+        "mean": mean,
+        "std": std,
+        "median": float(np.median(a)),
+        "ci95": [mean - half, mean + half],
+        "values": [float(v) for v in a],
+    }
+
+
+def _compare(ours_values, ref_values):
+    """Parity comparison for a lower-is-better metric.
+
+    pass <=> ours is not worse (delta <= 0), OR the 95% CIs overlap, OR
+    |delta mean| < 0.5 * pooled std.  Welch's t-test p is reported for
+    context (p >= 0.05: no significant difference).
+    """
+    import scipy.stats as st
+
+    if not ours_values or not ref_values:
+        return {"error": "missing seed results", "pass": False}
+    so, sr = _stats(ours_values), _stats(ref_values)
+    delta = so["mean"] - sr["mean"]
+    pooled = float(np.sqrt((so["std"] ** 2 + sr["std"] ** 2) / 2.0))
+    ci_overlap = (
+        so["ci95"][0] <= sr["ci95"][1] and sr["ci95"][0] <= so["ci95"][1]
+    )
+    if so["std"] == 0.0 and sr["std"] == 0.0:
+        welch_p = 1.0 if delta == 0.0 else 0.0
+    else:
+        welch_p = float(st.ttest_ind(ours_values, ref_values, equal_var=False).pvalue)
+    passes = bool(delta <= 0.0 or ci_overlap or abs(delta) < 0.5 * pooled)
+    return {
+        "ours": so,
+        "reference": sr,
+        "delta_mean_ours_minus_ref": delta,
+        "pooled_std": pooled,
+        "ci95_overlap": ci_overlap,
+        "welch_p": welch_p,
+        "pass": passes,
+    }
+
+
+def aggregate(workdir, seeds, out_path, design):
+    res_dir = os.path.join(workdir, "seed_results")
+    per_arm = {arm: [] for arm in ARMS}
+    for arm in ARMS:
+        for seed in seeds:
+            p = os.path.join(res_dir, f"{arm}_{seed}.json")
+            if os.path.exists(p):
+                with open(p) as f:
+                    per_arm[arm].append(json.load(f))
+
+    metrics = {}
+    for which in ("best", "last"):
+        for name, get in (
+            ("frr_at_2faph", lambda r: r[which]["frr_at_faph"]["2.0"]),
+            ("auc", lambda r: r[which]["auc"]),
+        ):
+            key = f"{which}_{name}"
+            vals = {arm: [get(r) for r in per_arm[arm]] for arm in ARMS}
+            metrics[key] = {
+                "trainer_isolation (ours_on_ref vs ref, identical C-op features)":
+                    _compare(vals["ours_on_ref"], vals["ref"]),
+                "end_to_end (ours+own frontend vs ref+C frontend)":
+                    _compare(vals["ours"], vals["ref"]),
+            }
+
+    def _all_pass(comparison_key):
+        return all(
+            metrics[k][comparison_key]["pass"] for k in metrics
+        )
+
+    iso_key = "trainer_isolation (ours_on_ref vs ref, identical C-op features)"
+    e2e_key = "end_to_end (ours+own frontend vs ref+C frontend)"
+    report = {
+        "task": "synthetic two-chirp wake word vs distractors (TTS-free), "
+                "level log-uniform [0.04, 0.4]",
+        "design": design,
+        "pass_criterion": (
+            "per metric (lower is better): pass iff ours' mean is not worse, "
+            "OR the 95% t-CIs overlap, OR |delta mean| < 0.5 * pooled std; "
+            "parity verdict = all four metrics (best/last x FRR@2faph/AUC) pass"
+        ),
+        "parity": {
+            "trainer_isolation": _all_pass(iso_key),
+            "end_to_end": _all_pass(e2e_key),
+        },
+        "metrics": metrics,
+        "per_seed": {
+            arm: [
+                {k: r[k] for k in ("seed", "train_seconds", "best", "last")}
+                for r in per_arm[arm]
+            ]
+            for arm in ARMS
+        },
+    }
+    # evaluator agreement on the first completed reference seed
+    ref_runs = sorted(
+        d for d in os.listdir(os.path.join(workdir, "runs"))
+        if d.startswith("ref_")
+    ) if os.path.isdir(os.path.join(workdir, "runs")) else []
+    if ref_runs:
+        seed0 = ref_runs[0]
+        try:
+            xc = evaluator_cross_check(
+                workdir, os.path.join(workdir, "runs", seed0),
+                design["steps"], design["batch"],
+            )
+            ref_rec = next(
+                (r for r in per_arm["ref"]
+                 if f"ref_{r['seed']}" == seed0), None,
+            )
+            report["evaluator_cross_check"] = {
+                "reference_seed_run": seed0,
+                "reference_own_evaluator": {
+                    w: {
+                        "auc": ref_rec[w]["auc"],
+                        "frr_at_2faph": ref_rec[w]["frr_at_faph"]["2.0"],
+                    } for w in ("best", "last")
+                } if ref_rec else None,
+                "through_our_evaluator": xc,
+            }
+        except Exception as e:  # cross-check is diagnostic, not load-bearing
+            report["evaluator_cross_check"] = {"error": repr(e)}
+
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=2)
+    return report
+
+
 # --------------------------- main -------------------------------------------
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--seeds", type=int, default=10,
+                    help="independent training runs per arm")
+    ap.add_argument("--arms", type=str, default=",".join(ARMS))
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--workdir", type=str, default=None)
-    ap.add_argument("--cross-check", action="store_true",
-                    help="also train our trainer on the C-op features and "
-                         "score the reference model through our evaluator")
+    ap.add_argument("--run-one", type=str, default=None, choices=ARMS,
+                    help="internal: train+eval a single (arm, seed)")
+    ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--jax-cpu", action="store_true",
                     help="run our side on CPU (e.g. when the TPU tunnel is "
                          "flaky); the reference side is always TF CPU")
@@ -515,86 +779,94 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
-    if args.quick:
-        sizes = {
-            "clips": {"training": (120, 120), "validation": (40, 40),
-                      "testing": (40, 40)},
-            "validation_ambient_s": [60.0, 60.0],
-            "testing_ambient_s": [120.0, 120.0],
-        }
-        steps = args.steps or 150
-        batch = 32
-    else:
-        sizes = {
-            "clips": {"training": (500, 500), "validation": (150, 150),
-                      "testing": (120, 120)},
-            "validation_ambient_s": [240.0, 240.0, 240.0],
-            "testing_ambient_s": [240.0] * 8,
-        }
-        steps = args.steps or 500
-        batch = 64
+    sizes = study_sizes(args.quick)
+    steps = args.steps or (300 if args.quick else 3000)
+    batch = 32 if args.quick else 64
+
+    if args.run_one:
+        # subprocess mode: dataset must already exist in workdir
+        assert args.workdir, "--run-one requires --workdir"
+        if args.run_one.startswith("ours"):
+            import jax
+
+            try:  # persistent compile cache amortizes jit across seeds
+                jax.config.update(
+                    "jax_compilation_cache_dir",
+                    os.path.join(args.workdir, "jax_cache"),
+                )
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+            except Exception:
+                pass
+        path = run_one(args.run_one, args.seed, args.workdir, steps, batch)
+        print(path)
+        return
 
     workdir = args.workdir or tempfile.mkdtemp(prefix="roc_parity_")
     print(f"workdir: {workdir}", file=sys.stderr)
-    rng = np.random.default_rng(20260819)
+    ensure_dataset(workdir, sizes)
 
+    import subprocess
+
+    seeds = list(range(1, args.seeds + 1))
+    arms = [a for a in args.arms.split(",") if a]
     t0 = time.perf_counter()
-    data = build_dataset(rng, sizes)
-    print(f"audio generated {time.perf_counter()-t0:.0f}s", file=sys.stderr)
+    for seed in seeds:
+        for arm in arms:
+            done = os.path.join(workdir, "seed_results", f"{arm}_{seed}.json")
+            if os.path.exists(done):
+                continue
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--run-one", arm, "--seed", str(seed),
+                   "--workdir", workdir, "--steps", str(steps)]
+            if args.quick:
+                cmd.append("--quick")
+            if args.jax_cpu:
+                cmd.append("--jax-cpu")
+            r = subprocess.run(cmd, capture_output=True, text=True)
+            if r.returncode != 0 and arm.startswith("ours") and not args.jax_cpu:
+                print(f"[{arm} seed {seed}] TPU run failed; retrying on CPU",
+                      file=sys.stderr)
+                r = subprocess.run(cmd + ["--jax-cpu"], capture_output=True,
+                                   text=True)
+            if r.returncode != 0:
+                print(f"[{arm} seed {seed}] FAILED:\n{r.stderr[-2000:]}",
+                      file=sys.stderr)
+            else:
+                print(f"[{arm} seed {seed}] done "
+                      f"({time.perf_counter()-t0:.0f}s elapsed)",
+                      file=sys.stderr)
 
-    from microwakeword_tpu.data.ragged_store import RaggedSpectrogramStore
-
-    ours_root = os.path.join(workdir, "ours_features")
-    write_stores(ours_root, features_ours, data, RaggedSpectrogramStore)
-    print(f"our features {time.perf_counter()-t0:.0f}s", file=sys.stderr)
-    ref_root = os.path.join(workdir, "ref_features")
-    install_shims()
-    write_stores(ref_root, features_c_op, data, RaggedMmapShim)
-    print(f"C-op features {time.perf_counter()-t0:.0f}s", file=sys.stderr)
-
-    ours = run_ours(ours_root, os.path.join(workdir, "run_ours"), steps, batch)
-    print(f"ours trained+evaluated {time.perf_counter()-t0:.0f}s "
-          f"(auc best={ours['best']['auc']:.3f} last={ours['last']['auc']:.3f})", file=sys.stderr)
-    ref = run_reference(ref_root, os.path.join(workdir, "run_ref"), steps, batch)
-    print(f"reference trained+evaluated {time.perf_counter()-t0:.0f}s "
-          f"(auc best={ref['best']['auc']:.3f} last={ref['last']['auc']:.3f})", file=sys.stderr)
-
-    anchors = [0.5, 1.0, 2.0]
-    report = {
-        "task": "synthetic two-chirp wake word vs distractors (TTS-free)",
+    out = args.out or os.path.join(
+        os.path.dirname(__file__), "..", "tests", "golden",
+        "roc_parity_report.json",
+    )
+    design = {
         "steps": steps,
         "batch": batch,
+        "seeds_per_arm": len(seeds),
+        "schedule": "3/4 steps @ lr 1e-3, 1/4 @ 2e-4",
         "sizes": {k: v for k, v in sizes.items() if k != "clips"}
         | {"clips": {k: list(v) for k, v in sizes["clips"].items()}},
-        "ours": ours,
-        "reference": ref,
-        "frr_at_faph": {
-            which: {
-                str(a): {
-                    "ours": frr_at(ours[which]["faph"], ours[which]["frr"], a),
-                    "reference": frr_at(ref[which]["faph"], ref[which]["frr"], a),
-                }
-                for a in anchors
-            }
-            for which in ("best", "last")
+        "arms": {
+            "ref": "reference trainer (Keras/TF CPU) + its TFLite streamed "
+                   "ROC, on true-C-op features",
+            "ours_on_ref": "this repo's trainer + evaluator on the IDENTICAL "
+                           "C-op feature stores (trainer isolation)",
+            "ours": "this repo's trainer + evaluator on this repo's frontend "
+                    "features (end-to-end)",
         },
-        "auc_delta_best": ours["best"]["auc"] - ref["best"]["auc"],
-        "auc_delta_last": ours["last"]["auc"] - ref["last"]["auc"],
     }
-    if args.cross_check:
-        report["cross_checks"] = run_cross_checks(workdir, ref_root, steps, batch)
-        print(f"cross checks done {time.perf_counter()-t0:.0f}s", file=sys.stderr)
-    out = args.out or os.path.join(
-        os.path.dirname(__file__), "..", "tests", "golden", "roc_parity_report.json"
-    )
-    with open(out, "w") as f:
-        json.dump(report, f, indent=2)
+    report = aggregate(workdir, seeds, out, design)
     print(json.dumps({
-        "ours_auc_best": ours["best"]["auc"],
-        "ours_auc_last": ours["last"]["auc"],
-        "reference_auc_best": ref["best"]["auc"],
-        "reference_auc_last": ref["last"]["auc"],
-        "frr_at_faph": report["frr_at_faph"],
+        "parity": report["parity"],
+        "last_frr_at_2faph": {
+            comp: {
+                "ours_mean": report["metrics"]["last_frr_at_2faph"][comp]["ours"]["mean"],
+                "ref_mean": report["metrics"]["last_frr_at_2faph"][comp]["reference"]["mean"],
+                "pass": report["metrics"]["last_frr_at_2faph"][comp]["pass"],
+            }
+            for comp in report["metrics"]["last_frr_at_2faph"]
+        },
         "report": os.path.normpath(out),
     }, indent=2))
 

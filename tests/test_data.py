@@ -472,3 +472,104 @@ def test_sample_audio_feature_batch_pallas_backend_matches_xla():
         packed, jax.random.PRNGKey(0), 1, L, frontend_backend="pallas"
     )
     np.testing.assert_allclose(np.asarray(fx), np.asarray(fp), atol=0.05)
+
+
+def test_mixed_provider_raw_audio_training(tmp_path):
+    """clips-type positives (raw audio, in-step frontend) + mmap negatives
+    (precomputed spectrograms) train in ONE fused jitted step via
+    PackedMixedData (VERDICT r2 item 2; reference FeatureHandler mixes
+    provider types freely, data.py:405-466)."""
+    from microwakeword_tpu.audio.io import save_clip
+    from microwakeword_tpu.models import build_model
+    from microwakeword_tpu.models.mixednet import MixedNetConfig
+    from microwakeword_tpu.train import loop as T
+
+    rng = np.random.default_rng(0)
+    t = np.arange(24000)
+    gate = (np.sin(2 * np.pi * 8.0 * t / 16000) > 0).astype(np.float32)
+    pos_dir = tmp_path / "pos"
+    pos_dir.mkdir()
+    for i, f0 in enumerate((2000, 2400)):
+        tone = 0.4 * gate * np.sin(2 * np.pi * f0 * t / 16000)
+        tone += 0.004 * rng.standard_normal(len(t))
+        save_clip(tone.astype(np.float32), str(pos_dir / f"c{i}.wav"))
+
+    # mmap negatives: precomputed spectrograms with low-channel energy
+    neg_dir = tmp_path / "neg" / "training"
+    neg_dir.mkdir(parents=True)
+    negs = []
+    for _ in range(12):
+        spec = rng.uniform(0, 60, size=(rng.integers(45, 70), 40))
+        spec[:, :12] += 250
+        negs.append(spec.astype(np.uint16))
+    RaggedSpectrogramStore.create(str(neg_dir / "x_mmap"), negs)
+
+    config = {
+        "train_dir": str(tmp_path / "run"),
+        "stride": 1,
+        "window_step_ms": 10,
+        "batch_size": 16,
+        "spectrogram_length": 40,
+        "raw_audio_training": True,
+        "training_steps": [80],
+        "learning_rates": [0.02],
+        "eval_step_interval": 40,
+        "features": [
+            {
+                "type": "clips",
+                "truth": True,
+                "sampling_weight": 1.0,
+                "penalty_weight": 1.0,
+                "truncation_strategy": "random",
+                "pack_pool_size": 8,
+                "clips_settings": {
+                    "input_directory": str(pos_dir),
+                    "file_pattern": "*.wav",
+                },
+                "augmentation_settings": {
+                    "augmentation_duration_s": 1.5,
+                    "augmentation_probabilities": {"Gain": 1.0},
+                },
+                "spectrogram_generation_settings": {"step_ms": 10},
+            },
+            {
+                "type": "mmap",
+                "truth": False,
+                "sampling_weight": 1.0,
+                "penalty_weight": 0.5,
+                "truncation_strategy": "random",
+                "features_dir": str(tmp_path / "neg"),
+            },
+        ],
+    }
+    fh = FeatureHandler(config)
+    packed = fh.pack_training_audio(0, 1)
+    assert isinstance(packed, S.PackedMixedData)
+    assert abs(packed.audio_fraction - 0.5) < 1e-6
+
+    # direct sampler check: half the batch raw-audio positives, half mmap
+    # negatives, with per-provider labels/penalties
+    feats, labels, weights = jax.jit(
+        functools.partial(S.sample_mixed_batch, batch_size=8,
+                          features_length=40)
+    )(packed, jax.random.PRNGKey(0))
+    assert feats.shape == (8, 40, 40)
+    assert np.all(np.asarray(labels)[:4] == 1.0)
+    assert np.all(np.asarray(labels)[4:] == 0.0)
+    assert np.all(np.asarray(weights)[:4] == 1.0)
+    assert np.all(np.asarray(weights)[4:] == 0.5)
+
+    cfg = MixedNetConfig(
+        pointwise_filters=(12, 12),
+        repeat_in_block=(1, 1),
+        mixconv_kernel_sizes=((3,), (5,)),
+        residual_connection=(False, False),
+        first_conv_filters=8,
+        first_conv_kernel_size=3,
+        spectrogram_length=40,
+    )
+    bundle = build_model("mixednet", cfg)
+    variables, history = T.train(bundle, config, fh)
+    final = history[-1]
+    assert np.isfinite(final["train"]["loss"])
+    assert final["train"]["accuracy"] > 0.9, final
