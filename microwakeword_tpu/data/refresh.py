@@ -1,0 +1,154 @@
+"""Background augmentation-pool refresh for raw-audio training.
+
+The reference draws a FRESH augmentation per training sample
+(data.py:324-402); the on-device sampler instead materializes a pool of
+augmented clips in HBM at pack time (data/store.py ClipsFeatureSet), which
+a long run would otherwise reuse for millions of samples.  This module
+closes that diversity gap: a host thread regenerates every clips-type
+provider's audio pool while the device trains, and the train loop swaps
+the regenerated pool into HBM at step-chunk boundaries (double-buffered:
+one pool training, one being built).
+
+The swap preserves the ORIGINAL pack layout (clip_offset / clip_chunks /
+provider tables are reused), so the corpus arrays keep their shapes and
+the jitted train step is NOT retraced -- each regenerated clip is written
+into its old slot, end-aligned (wake words sit at clip ends; leading
+zeros read as silence) and front-truncated if the new augmentation ran
+longer.  With the usual fixed ``augmentation_duration_s`` every clip fits
+its slot exactly.
+
+Enabled by config ``pool_refresh_steps: K`` (swap-eligible every K steps;
+actual swaps happen whenever the background build has finished).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+from microwakeword_tpu.data import sampler as S
+
+
+class PoolRefresher:
+    """Regenerates clips-type audio pools on a host thread.
+
+    Supports PackedAudioData and the audio half of PackedMixedData (the
+    precomputed-spectrogram half is static on disk and needs no refresh).
+    """
+
+    def __init__(
+        self,
+        feature_handler,
+        packed,
+        interval_steps: int,
+        shard_index: int = 0,
+        shard_count: int = 1,
+    ):
+        audio = self._audio_part(packed)
+        if audio is None:
+            raise ValueError(
+                "pool_refresh_steps requires raw-audio training "
+                "(PackedAudioData or PackedMixedData)"
+            )
+        self.interval = int(interval_steps)
+        self.shard_index = shard_index
+        self.shard_count = shard_count
+        self.providers = [
+            p for p in feature_handler.providers
+            if hasattr(p, "generate_audio_pool")
+        ]
+        # host snapshot of the pack layout (reused by every refresh)
+        self.chunk_shape = tuple(audio.chunks.shape)
+        self.clip_offset = np.asarray(audio.clip_offset)
+        self.clip_chunks = np.asarray(audio.clip_chunks)
+        self.provider_clip_start = np.asarray(audio.provider_clip_start)
+        self.provider_clip_count = np.asarray(audio.provider_clip_count)
+        self._last_swap_step = 0
+        self.swap_count = 0
+        self._queue: queue.Queue = queue.Queue(maxsize=1)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+
+    @staticmethod
+    def _audio_part(packed):
+        if isinstance(packed, S.PackedMixedData):
+            return packed.audio
+        if isinstance(packed, S.PackedAudioData):
+            return packed
+        return None
+
+    def start(self):
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        # unblock a worker waiting on the full queue
+        try:
+            self._queue.get_nowait()
+        except queue.Empty:
+            pass
+
+    # ------------------------------------------------------------------
+    def _build_chunks(self) -> np.ndarray:
+        """One full regenerated pool in the original slot layout."""
+        chunks = np.zeros(self.chunk_shape, np.int16)
+        for pi, p in enumerate(self.providers):
+            clips = p.generate_audio_pool(self.shard_index, self.shard_count)
+            start = int(self.provider_clip_start[pi])
+            count = int(self.provider_clip_count[pi])
+            if len(clips) != count:  # repeat/trim to the packed slot count
+                clips = [clips[i % len(clips)] for i in range(count)]
+            for j, clip in zip(range(start, start + count), clips):
+                clip = np.asarray(clip)
+                if clip.dtype != np.int16:
+                    clip = np.round(
+                        np.clip(clip * 32768.0, -32768.0, 32767.0)
+                    ).astype(np.int16)
+                slot_samples = int(self.clip_chunks[j]) * S.HOP_SAMPLES
+                buf = np.zeros(slot_samples, np.int16)
+                t = min(len(clip), slot_samples)
+                buf[slot_samples - t:] = clip[len(clip) - t:]
+                off = int(self.clip_offset[j])
+                chunks[off : off + slot_samples // S.HOP_SAMPLES] = buf.reshape(
+                    -1, S.HOP_SAMPLES
+                )
+        return chunks
+
+    def _worker(self):
+        while not self._stop.is_set():
+            try:
+                chunks = self._build_chunks()
+            except Exception:  # pragma: no cover - diagnostic only
+                import traceback
+
+                traceback.print_exc()
+                return
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(chunks, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
+
+    # ------------------------------------------------------------------
+    def maybe_swap(self, packed, step: int):
+        """Returns a new packed corpus if a refresh is due and ready, else
+        None.  Non-blocking: if the background build is still running the
+        swap simply happens at a later step."""
+        if step - self._last_swap_step < self.interval:
+            return None
+        try:
+            chunks = self._queue.get_nowait()
+        except queue.Empty:
+            return None
+        import jax.numpy as jnp
+
+        self._last_swap_step = step
+        self.swap_count += 1
+        new_chunks = jnp.asarray(chunks)
+        if isinstance(packed, S.PackedMixedData):
+            return packed.replace(audio=packed.audio.replace(chunks=new_chunks))
+        return packed.replace(chunks=new_chunks)

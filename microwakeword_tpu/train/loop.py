@@ -156,6 +156,7 @@ def make_train_step(
         batch_stats,
         opt_state,
         rng,
+        corpus,
         *,
         learning_rate,
         time_mask_max_size,
@@ -167,7 +168,7 @@ def make_train_step(
     ):
         r_batch, r_drop = jax.random.split(rng)
         feats, labels, penalties = sample(
-            packed,
+            corpus,
             r_batch,
             batch_size,
             features_length,
@@ -194,12 +195,12 @@ def make_train_step(
 
     if steps_per_call > 1:
 
-        def chained(params, batch_stats, opt_state, rng, **phase):
+        def chained(params, batch_stats, opt_state, rng, corpus, **phase):
 
             def body(carry, step_rng):
                 params, batch_stats, opt_state = carry
                 params, batch_stats, opt_state, m = train_step(
-                    params, batch_stats, opt_state, step_rng, **phase
+                    params, batch_stats, opt_state, step_rng, corpus, **phase
                 )
                 return (params, batch_stats, opt_state), m
 
@@ -229,7 +230,20 @@ def make_train_step(
             else None
         ),
     )
-    return optimizer, jitted
+
+    # The corpus rides as a jit ARGUMENT behind this wrapper (not a closure
+    # constant) so the background pool refresher can swap in a same-shaped
+    # regenerated corpus without retracing; callers keep the original
+    # (params, batch_stats, opt_state, rng, **phase) convention.
+    holder = {"corpus": packed}
+
+    def call(params, batch_stats, opt_state, rng, **phase):
+        return jitted(params, batch_stats, opt_state, rng, holder["corpus"], **phase)
+
+    call.swap_corpus = lambda new: holder.__setitem__("corpus", new)
+    call.get_corpus = lambda: holder["corpus"]
+    call.cache_size = jitted._cache_size
+    return optimizer, call
 
 
 def make_eval_fn(bundle, eval_batch: int = 1024, mesh=None):
@@ -368,6 +382,22 @@ def train(
         )
     opt_state = optimizer.init(params)
     eval_probs = make_eval_fn(bundle, mesh=mesh)
+
+    # Background augmentation-pool refresh (config pool_refresh_steps: K):
+    # a host thread regenerates the clips-type audio pools while the device
+    # trains; regenerated pools swap into HBM at step-chunk boundaries with
+    # the pack layout preserved, so the step is not retraced
+    # (data/refresh.py; closes the static-pool diversity gap vs the
+    # reference's fresh-augmentation-per-sample, data.py:324-402).
+    refresher = None
+    refresh_steps = int(config.get("pool_refresh_steps", 0) or 0)
+    if refresh_steps > 0:
+        from microwakeword_tpu.data.refresh import PoolRefresher
+
+        refresher = PoolRefresher(
+            feature_handler, packed, refresh_steps,
+            shard_index=jax.process_index(), shard_count=jax.process_count(),
+        ).start()
     if mesh is not None:
         from microwakeword_tpu.parallel.train_step import replicate
 
@@ -489,6 +519,17 @@ def train(
         )
         step_times.append((n, time.perf_counter() - t0))
         step += n
+        if refresher is not None:
+            new_packed = refresher.maybe_swap(packed, step)
+            if new_packed is not None:
+                if mesh is not None:
+                    from microwakeword_tpu.parallel.train_step import replicate
+
+                    new_packed = replicate(new_packed, mesh)
+                packed = new_packed
+                train_step.swap_corpus(packed)
+                if chunk_step is not None:
+                    chunk_step.swap_corpus(packed)
         if profiling and step >= profile_end:
             jax.block_until_ready(params)
             jax.profiler.stop_trace()
@@ -589,6 +630,8 @@ def train(
             with open(history_path, "a") as f:
                 f.write(json.dumps(record) + "\n")
 
+    if refresher is not None:
+        refresher.stop()
     if profiling:  # trace still open: short runs
         jax.block_until_ready(params)
         jax.profiler.stop_trace()

@@ -573,3 +573,117 @@ def test_mixed_provider_raw_audio_training(tmp_path):
     final = history[-1]
     assert np.isfinite(final["train"]["loss"])
     assert final["train"]["accuracy"] > 0.9, final
+
+
+def test_pool_refresher_swaps_without_retrace(tmp_path):
+    """Background pool refresh (VERDICT r2 item 3): regenerated pools keep
+    the pack layout (same shapes, no jit retrace), change contents across
+    refresh boundaries, and the training loop learns through swaps."""
+    from microwakeword_tpu.audio.io import save_clip
+    from microwakeword_tpu.data.refresh import PoolRefresher
+    from microwakeword_tpu.models import build_model
+    from microwakeword_tpu.models.mixednet import MixedNetConfig
+    from microwakeword_tpu.train import loop as T
+
+    rng = np.random.default_rng(0)
+    t = np.arange(24000)
+    gate = (np.sin(2 * np.pi * 8.0 * t / 16000) > 0).astype(np.float32)
+    for name, freqs in [("pos", (2000, 2400)), ("neg", (200, 300))]:
+        d = tmp_path / name
+        d.mkdir()
+        for i, f0 in enumerate(freqs):
+            tone = 0.4 * gate * np.sin(2 * np.pi * f0 * t / 16000)
+            tone += 0.004 * rng.standard_normal(len(t))
+            save_clip(tone.astype(np.float32), str(d / f"c{i}.wav"))
+
+    def clips_feature(name, truth):
+        return {
+            "type": "clips",
+            "truth": truth,
+            "sampling_weight": 1.0,
+            "penalty_weight": 1.0,
+            "truncation_strategy": "random",
+            "pack_pool_size": 6,
+            "clips_settings": {
+                "input_directory": str(tmp_path / name),
+                "file_pattern": "*.wav",
+            },
+            "augmentation_settings": {
+                "augmentation_duration_s": 1.5,
+                "augmentation_probabilities": {"Gain": 1.0},
+            },
+            "spectrogram_generation_settings": {"step_ms": 10},
+        }
+
+    config = {
+        "train_dir": str(tmp_path / "run"),
+        "stride": 1,
+        "window_step_ms": 10,
+        "batch_size": 16,
+        "spectrogram_length": 40,
+        "raw_audio_training": True,
+        "pool_refresh_steps": 10,
+        "training_steps": [60],
+        "learning_rates": [0.02],
+        "eval_step_interval": 30,
+        "features": [clips_feature("pos", True), clips_feature("neg", False)],
+    }
+    fh = FeatureHandler(config)
+
+    # unit: layout-preserving regeneration with changed contents
+    packed = fh.pack_training_audio(0, 1)
+    refresher = PoolRefresher(fh, packed, interval_steps=5)
+    c1 = refresher._build_chunks()
+    c2 = refresher._build_chunks()
+    assert c1.shape == tuple(packed.chunks.shape)
+    assert not np.array_equal(c1, c2)  # fresh random augmentations
+    refresher._queue.put(c2)
+    new_packed = refresher.maybe_swap(packed, step=5)
+    assert new_packed is not None
+    assert new_packed.chunks.shape == packed.chunks.shape
+    np.testing.assert_array_equal(np.asarray(new_packed.clip_offset),
+                                  np.asarray(packed.clip_offset))
+
+    # swap must not retrace the jitted step
+    _, step = T.make_train_step(bundle := build_model(
+        "mixednet",
+        MixedNetConfig(
+            pointwise_filters=(12,),
+            repeat_in_block=(1,),
+            mixconv_kernel_sizes=((3,),),
+            residual_connection=(False,),
+            first_conv_filters=8,
+            first_conv_kernel_size=3,
+            spectrogram_length=40,
+        ),
+    ), packed, 8, 40)
+    variables = bundle.init(jax.random.PRNGKey(0))
+    opt = T.make_train_step(bundle, packed, 8, 40)[0]
+    opt_state = opt.init(variables["params"])
+    kw = dict(learning_rate=0.01, time_mask_max_size=0, time_mask_count=0,
+              freq_mask_max_size=0, freq_mask_count=0,
+              positive_class_weight=1.0, negative_class_weight=1.0)
+    p, bs, opt_state, _ = step(
+        variables["params"], variables["batch_stats"], opt_state,
+        jax.random.PRNGKey(1), **kw)
+    assert step.cache_size() == 1
+    step.swap_corpus(new_packed)
+    p, bs, opt_state, m = step(p, bs, opt_state, jax.random.PRNGKey(2), **kw)
+    assert step.cache_size() == 1  # same shapes: no retrace
+    assert np.isfinite(float(m["loss"]))
+
+    # integration: the training loop learns through background swaps
+    cfg = MixedNetConfig(
+        pointwise_filters=(12, 12),
+        repeat_in_block=(1, 1),
+        mixconv_kernel_sizes=((3,), (5,)),
+        residual_connection=(False, False),
+        first_conv_filters=8,
+        first_conv_kernel_size=3,
+        spectrogram_length=40,
+    )
+    bundle = build_model("mixednet", cfg)
+    variables, history = T.train(bundle, config, fh)
+    final = history[-1]
+    assert np.isfinite(final["train"]["loss"])
+    assert final["train"]["accuracy"] > 0.9, final
