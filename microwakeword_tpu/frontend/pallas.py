@@ -167,6 +167,12 @@ def frontend_batch(
     if t <= 0:
         return jnp.zeros((bsz, 0, ref.NUM_CHANNELS), jnp.float32)
 
+    # Short clips (the fused-training window case, e.g. t=194): one
+    # right-sized tile instead of cdiv(t, 128) fixed tiles -- at t=194 the
+    # fixed tiling computed 256 hops for 194 (33% waste) and paid a second
+    # grid step per batch row (VERDICT r2 item 8).
+    if t <= 2 * T_TILE:
+        t_tile = -(-t // 8) * 8  # sublane-aligned single tile
     n_tiles = pl.cdiv(t, t_tile)
     # Pad so every tile's DMA window exists; padded hops are sliced off.
     n_rows = n_tiles * t_tile + 8
