@@ -104,12 +104,14 @@ class MixConv(nn.Module):
     The reference's per-branch DepthwiseConv2D keeps Keras' default
     use_bias=True (mixednet.py:209), but every MixConv output immediately
     feeds a bias-free 1x1 conv followed by BatchNorm, whose beta absorbs any
-    constant channel shift -- the depthwise bias is redundant and is
-    deliberately omitted here.
+    constant channel shift -- the depthwise bias is redundant and off by
+    default here.  ``use_bias=True`` restores it for exact cross-framework
+    weight transfer (scripts/trainer_ab.py).
     """
 
     kernel_sizes: Sequence[int]
     streaming: bool = False
+    use_bias: bool = False
 
     @staticmethod
     def split_channels(total: int, groups: int) -> list[int]:
@@ -158,7 +160,7 @@ class MixConv(nn.Module):
                 )
                 x = jnp.concatenate([buf.value, x], axis=1)
                 buf.value = x[:, -ring:]
-        return jax.lax.conv_general_dilated(
+        y = jax.lax.conv_general_dilated(
             x,
             kernel,
             window_strides=(1,),
@@ -166,6 +168,9 @@ class MixConv(nn.Module):
             dimension_numbers=("NHC", "HIO", "NHC"),
             feature_group_count=channels,
         )
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (channels,))
+        return y
 
 
 class StreamBuffer(nn.Module):

@@ -36,6 +36,9 @@ class MixedNetConfig:
     max_pool: bool = False
     pooled: bool = False
     spatial_attention: bool = False
+    # keeps the reference's (redundant-before-BN) depthwise biases; used for
+    # exact cross-framework weight transfer (scripts/trainer_ab.py)
+    mixconv_bias: bool = False
     spectrogram_length: int = 194  # training input frames (model input T)
 
     def __post_init__(self):
@@ -125,7 +128,11 @@ class MixedNet(nn.Module):
                 residual = L.BatchNorm(use_running_average=not train)(residual)
             for _ in range(repeat):
                 if max(ksizes) > 1:
-                    x = L.MixConv(tuple(ksizes), streaming=self.streaming)(x)
+                    x = L.MixConv(
+                        tuple(ksizes),
+                        streaming=self.streaming,
+                        use_bias=cfg.mixconv_bias,
+                    )(x)
                 x = L.PointwiseConv(filters)(x)
                 x = L.BatchNorm(use_running_average=not train)(x)
                 if res:

@@ -1,0 +1,40 @@
+"""Cross-framework trainer step-equivalence (scripts/trainer_ab.py).
+
+Transplants a reference Keras MixedNet's initial weights into our pytree
+and runs both trainers on identical batches: forward probabilities must
+agree to float tolerance and per-step training losses must track (the
+update rules are the same function; only fp rounding order differs).
+"""
+import importlib.util
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def test_trainer_step_equivalence(tmp_path):
+    script = os.path.join(
+        os.path.dirname(__file__), "..", "scripts", "trainer_ab.py"
+    )
+    out = tmp_path / "ab.json"
+    r = subprocess.run(
+        [sys.executable, script, "--steps", "12", "--batch", "16",
+         "--out", str(out)],
+        capture_output=True, text=True, timeout=500,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import json
+
+    rep = json.loads(out.read_text())
+    # identical weights -> identical probabilities (pure fp tolerance)
+    assert rep["forward_prob_max_diff"] < 1e-5
+    # identical batches -> matching per-step losses (fp drift only; the
+    # first steps agree to ~1e-6 and drift grows smoothly)
+    d = np.abs(
+        np.asarray(rep["reference_losses"]) - np.asarray(rep["our_losses"])
+    )
+    assert d[0] < 1e-5
+    assert d.max() < 0.02
+    assert rep["post_training_prob_max_diff"] < 0.05
