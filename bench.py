@@ -345,10 +345,11 @@ def dp_worker(n_devices: int, steps: int, batch: int):
         from microwakeword_tpu.parallel import replicate
 
         packed = replicate(packed, mesh)
-    dt = _run_train_loop(
+    samples = _run_train_loop(
         bundle, variables, packed, cfg, steps, batch, chunk=max(1, steps // 2),
         mesh=mesh,
     )
+    dt = float(np.median(samples))
     print(json.dumps({
         "n_devices": n_devices,
         "steps_per_sec": 1.0 / dt,
