@@ -8,7 +8,9 @@ Three interchangeable backends:
   the deployment-parity path;
 - native: the C++ streaming runtime on an exported .mww model
   (export/native_runtime.py + native/src/mww_runtime.cc) -- the
-  no-Python deployment path.
+  no-Python deployment path;
+- StableHLO: a serialized .mwwx jax.export artifact
+  (export/stablehlo.py) -- the portable pure-function path.
 
 All consume our micro-frontend features (uint16*0.0390625 convention).
 """
@@ -57,6 +59,16 @@ class Model:
             return runner.predict_spectrogram(np.asarray(spec, np.float32))
 
         return cls(predict, stride=runner.stride)
+
+    @classmethod
+    def from_stablehlo(cls, path: str):
+        """Loads a .mwwx StableHLO artifact (export/stablehlo.py) -- the
+        serialized pure-function deployment path (weights baked in, runs on
+        any platform the artifact was lowered for)."""
+        from microwakeword_tpu.export.stablehlo import StableHLOModel
+
+        runner = StableHLOModel(path)
+        return cls(runner.predict_spectrogram, stride=runner.stride)
 
     @classmethod
     def from_tflite(cls, path: str, stride: int = 1):
