@@ -107,6 +107,10 @@ def main(argv=None):
     parser.add_argument("--export_native", type=int, default=1,
                         help="Export train_dir/native/model.mww for the C++ "
                              "streaming runtime (native/src/mww_runtime.cc)")
+    parser.add_argument("--export_stablehlo", type=int, default=1,
+                        help="Export train_dir/stablehlo/model.mwwx, a "
+                             "portable serialized jax.export artifact "
+                             "(export/stablehlo.py)")
     parser.add_argument("--mesh", type=str, default="auto",
                         help="'auto' (DP over all visible devices when >1 "
                              "and batch_size divides), 'off', or an explicit "
@@ -191,6 +195,19 @@ def main(argv=None):
         native_path = os.path.join(native_dir, "model.mww")
         export_model(bundle, variables, native_path)
         print(f"native streaming model: {native_path}")
+
+    if flags.export_stablehlo:
+        from microwakeword_tpu.export.stablehlo import export_streaming
+
+        hlo_dir = os.path.join(train_dir, "stablehlo")
+        os.makedirs(hlo_dir, exist_ok=True)
+        hlo_path = os.path.join(hlo_dir, "model.mwwx")
+        try:
+            export_streaming(bundle, variables, hlo_path)
+            print(f"stablehlo model: {hlo_path}")
+        except ValueError as e:
+            # e.g. spatial_attention without pooling has no streaming form
+            print(f"stablehlo export skipped: {e}")
 
     tflite_runs = []  # (quantize, streaming) per requested artifact
     if flags.test_tflite_streaming:
