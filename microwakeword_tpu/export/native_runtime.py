@@ -276,8 +276,20 @@ def export_inception(bundle, variables: dict, path: str) -> None:
         f.write(b.serialize(cfg.stride, bundle.input_features))
 
 
-def export_model(bundle, variables: dict, path: str) -> None:
-    """Exports any supported model family to the native .mww format."""
+def export_model(bundle, variables: dict, path: str, quantize: bool = False,
+                 calibration=None) -> None:
+    """Exports any supported model family to the native .mww format.
+
+    ``quantize=True`` emits the full-int8 v3 format (MixedNet only;
+    export/native_quant.py) -- int8 weights/activations/ring buffers with
+    int32 accumulation, the role the reference fills with int8 TFLite
+    (reference utils.py:327-348).  ``calibration``: representative
+    [N, T, 40] spectrograms for activation-range calibration."""
+    if quantize:
+        from microwakeword_tpu.export.native_quant import export_mixednet_int8
+
+        export_mixednet_int8(bundle, variables, path, calibration=calibration)
+        return
     if bundle.name == "mixednet":
         export_mixednet(bundle, variables, path)
     elif bundle.name == "inception":

@@ -195,6 +195,20 @@ def main(argv=None):
         native_path = os.path.join(native_dir, "model.mww")
         export_model(bundle, variables, native_path)
         print(f"native streaming model: {native_path}")
+        try:
+            # full-int8 variant, calibrated like the TFLite representative
+            # dataset (training spectrograms, reference utils.py:303-325)
+            calib, _, _ = feature_handler.get_data(
+                "training", batch_size=200,
+                features_length=config["spectrogram_length"],
+                truncation_strategy="default",
+            )
+            quant_path = os.path.join(native_dir, "model_quant.mww")
+            export_model(bundle, variables, quant_path, quantize=True,
+                         calibration=calib)
+            print(f"native int8 streaming model: {quant_path}")
+        except ValueError as e:  # e.g. inception / spatial_attention
+            print(f"native int8 export skipped: {e}")
 
     if flags.export_stablehlo:
         from microwakeword_tpu.export.stablehlo import export_streaming

@@ -35,6 +35,15 @@ enum OpType {
   kRestore = 9,    // p: ch, slot -- cur = slot
   kConcat = 10,    // p: ch1, slot1, ch2, slot2, ch3 -- cur = [s1, s2, cur]
   kSpAttn = 11,    // p: ch, k, w([k,2]) -- CBAM gate over (mean,max) ring
+  // ---- full-int8 ops (v3 format; export/native_quant.py) ----
+  kQIn = 20,       // p: n, qt([s, zp]) -- quantize float frames -> int8
+  kQConv = 21,     // p: k, stride, in, out, w(i8), bias(-1), dil, relu, qt
+  kQMix = 22,      // p: kmax, ch, w(i8), qt
+  kQPw = 23,       // p: in, out, w(i8), bias(i32), relu, qt
+  kQSave = 24,     // p: ch, slot -- int8 copy
+  kQRes = 25,      // p: in, out, w(i8), bias(i32), slot, qt
+  kQTail = 26,     // p: window, ch, pooled, max_pool, qt([zp])
+  kQDense = 27,    // p: in, w(i8), qt([zp_in, s_in*s_w, bias]) -> float prob
 };
 
 struct Op {
@@ -42,14 +51,22 @@ struct Op {
   int32_t p[9] = {0};
   // Runtime state:
   std::vector<float> ring;  // conv/mixconv/tail history frames
+  std::vector<int8_t> ring8;  // quantized history (v3 ops)
   int ring_rows = 0;
   int ring_ch = 0;
+  int8_t ring_zero = 0;  // zero-point of the ring's scale: reset value
 };
 
 struct Tensor {
-  const float* data = nullptr;
+  const float* data = nullptr;   // dtype 0
+  const int8_t* i8 = nullptr;    // dtype 1
+  const int32_t* i32 = nullptr;  // dtype 2
   int64_t size = 0;
 };
+
+inline int8_t clamp_i8(int v) {
+  return static_cast<int8_t>(std::min(127, std::max(-128, v)));
+}
 
 }  // namespace
 
@@ -61,14 +78,22 @@ struct mww_model {
   std::vector<Op> ops;
   std::vector<Tensor> tensors;
   std::vector<float> blob;
+  std::vector<uint8_t> blob_raw;  // v3: byte blob with typed tensors
   std::vector<std::vector<float>> res_slots;
+  std::vector<std::vector<int8_t>> res_slots8;
   // scratch frames (double buffered)
   std::vector<float> cur, nxt;
+  std::vector<int8_t> cur8, nxt8;
 };
 
 static void reset_state(mww_model* m) {
-  for (auto& op : m->ops) std::fill(op.ring.begin(), op.ring.end(), 0.f);
+  for (auto& op : m->ops) {
+    std::fill(op.ring.begin(), op.ring.end(), 0.f);
+    // quantized rings reset to the zero-point: q == zp represents real 0
+    std::fill(op.ring8.begin(), op.ring8.end(), op.ring_zero);
+  }
   for (auto& s : m->res_slots) std::fill(s.begin(), s.end(), 0.f);
+  for (auto& s : m->res_slots8) std::fill(s.begin(), s.end(), int8_t{0});
 }
 
 mww_model* mww_model_load(const char* path) {
@@ -77,7 +102,7 @@ mww_model* mww_model_load(const char* path) {
   uint32_t magic = 0, version = 0;
   int32_t stride = 0, n_features = 0, n_ops = 0, n_tensors = 0;
   if (fread(&magic, 4, 1, f) != 1 || magic != kMagic ||
-      fread(&version, 4, 1, f) != 1 || version < 1 || version > 2 ||
+      fread(&version, 4, 1, f) != 1 || version < 1 || version > 3 ||
       fread(&stride, 4, 1, f) != 1 || fread(&n_features, 4, 1, f) != 1 ||
       fread(&n_ops, 4, 1, f) != 1 || fread(&n_tensors, 4, 1, f) != 1) {
     fclose(f);
@@ -97,27 +122,64 @@ mww_model* mww_model_load(const char* path) {
     op.type = rec[0];
     std::memcpy(op.p, rec + 1, 9 * 4);
   }
-  std::vector<std::pair<uint64_t, uint64_t>> table(n_tensors);
-  uint64_t total = 0;
-  for (auto& e : table) {
-    if (fread(&e.first, 8, 1, f) != 1 || fread(&e.second, 8, 1, f) != 1) {
+  if (version >= 3) {
+    // typed tensor table: (u64 byte_offset, u64 n_elems, u32 dtype, u32 pad)
+    struct Entry { uint64_t off, n; uint32_t dtype, pad; };
+    std::vector<Entry> table(n_tensors);
+    uint64_t total = 0;
+    for (auto& e : table) {
+      if (fread(&e, sizeof(Entry), 1, f) != 1) {
+        fclose(f);
+        delete m;
+        return nullptr;
+      }
+      const uint64_t elem = e.dtype == 1 ? 1 : 4;
+      total = std::max(total, e.off + e.n * elem);
+    }
+    m->blob_raw.resize(total);
+    if (total && fread(m->blob_raw.data(), 1, total, f) != total) {
       fclose(f);
       delete m;
       return nullptr;
     }
-    total = std::max(total, e.first + e.second);
-  }
-  m->blob.resize(total);
-  if (total && fread(m->blob.data(), 4, total, f) != total) {
     fclose(f);
-    delete m;
-    return nullptr;
-  }
-  fclose(f);
-  m->tensors.resize(n_tensors);
-  for (int i = 0; i < n_tensors; ++i) {
-    m->tensors[i] = {m->blob.data() + table[i].first,
-                     static_cast<int64_t>(table[i].second)};
+    m->tensors.resize(n_tensors);
+    for (int i = 0; i < n_tensors; ++i) {
+      const uint8_t* base = m->blob_raw.data() + table[i].off;
+      Tensor& t = m->tensors[i];
+      t.size = static_cast<int64_t>(table[i].n);
+      switch (table[i].dtype) {
+        case 0: t.data = reinterpret_cast<const float*>(base); break;
+        case 1: t.i8 = reinterpret_cast<const int8_t*>(base); break;
+        case 2: t.i32 = reinterpret_cast<const int32_t*>(base); break;
+        default:
+          delete m;
+          return nullptr;
+      }
+    }
+  } else {
+    std::vector<std::pair<uint64_t, uint64_t>> table(n_tensors);
+    uint64_t total = 0;
+    for (auto& e : table) {
+      if (fread(&e.first, 8, 1, f) != 1 || fread(&e.second, 8, 1, f) != 1) {
+        fclose(f);
+        delete m;
+        return nullptr;
+      }
+      total = std::max(total, e.first + e.second);
+    }
+    m->blob.resize(total);
+    if (total && fread(m->blob.data(), 4, total, f) != total) {
+      fclose(f);
+      delete m;
+      return nullptr;
+    }
+    fclose(f);
+    m->tensors.resize(n_tensors);
+    for (int i = 0; i < n_tensors; ++i) {
+      m->tensors[i].data = m->blob.data() + table[i].first;
+      m->tensors[i].size = static_cast<int64_t>(table[i].second);
+    }
   }
   // Allocate ring buffers and residual slots.
   int n_slots = 0;
@@ -158,23 +220,76 @@ mww_model* mww_model_load(const char* path) {
         op.ring_ch = 2;              // (mean, max) per frame
         break;
       }
+      case kQConv: {
+        const int k = op.p[0], st = op.p[1];
+        const int dil = op.p[6] > 0 ? op.p[6] : 1;
+        op.ring_rows = std::max(0, dil * (k - 1) - (st - 1));
+        op.ring_ch = op.p[2];
+        op.ring_zero = clamp_i8(
+            static_cast<int>(std::lround(m->tensors[op.p[8]].data[0])));
+        max_ch = std::max({max_ch, op.p[2], op.p[3]});
+        break;
+      }
+      case kQMix: {
+        op.ring_rows = op.p[0] - 1;
+        op.ring_ch = op.p[1];
+        op.ring_zero = clamp_i8(
+            static_cast<int>(std::lround(m->tensors[op.p[3]].data[0])));
+        max_ch = std::max(max_ch, op.p[1]);
+        break;
+      }
+      case kQTail: {
+        op.ring_rows = op.p[0] - 1;
+        op.ring_ch = op.p[1];
+        op.ring_zero = clamp_i8(
+            static_cast<int>(std::lround(m->tensors[op.p[4]].data[0])));
+        max_ch = std::max(max_ch, op.p[0] * op.p[1]);
+        break;
+      }
+      case kQPw:
+        max_ch = std::max({max_ch, op.p[0], op.p[1]});
+        break;
+      case kQRes:
+        n_slots = std::max(n_slots, op.p[4] + 1);
+        max_ch = std::max({max_ch, op.p[0], op.p[1]});
+        break;
+      case kQSave:
+        n_slots = std::max(n_slots, op.p[1] + 1);
+        max_ch = std::max(max_ch, op.p[0]);
+        break;
+      case kQDense:
+        max_ch = std::max(max_ch, op.p[0]);
+        break;
       default:
         break;
     }
-    op.ring.assign(static_cast<size_t>(op.ring_rows) * op.ring_ch, 0.f);
+    const bool quant_ring =
+        op.type == kQConv || op.type == kQMix || op.type == kQTail;
+    if (quant_ring)
+      op.ring8.assign(static_cast<size_t>(op.ring_rows) * op.ring_ch,
+                      op.ring_zero);
+    else
+      op.ring.assign(static_cast<size_t>(op.ring_rows) * op.ring_ch, 0.f);
     for (int i = 0; i < 9; ++i)
       if (op.type == kPointwise || op.type == kConv || op.type == kDenseSig ||
           op.type == kResApply)
         max_ch = std::max(max_ch, op.p[i == 0 ? 0 : i]);
   }
+  bool quantized = false;
   for (auto& op : m->ops) {
     if (op.type == kConv || op.type == kPointwise)
       max_ch = std::max({max_ch, op.p[2], op.p[3]});
     if (op.type == kResApply) max_ch = std::max({max_ch, op.p[0], op.p[1]});
+    if (op.type >= kQIn) quantized = true;
   }
   m->res_slots.resize(n_slots);
   m->cur.resize(max_ch + 8);
   m->nxt.resize(max_ch + 8);
+  if (quantized) {
+    m->res_slots8.resize(n_slots);
+    m->cur8.resize(max_ch + 8);
+    m->nxt8.resize(max_ch + 8);
+  }
   reset_state(m);
   return m;
 }
@@ -386,6 +501,196 @@ float mww_model_step(mww_model* m, const float* frames) {
         }
         const float gate = static_cast<float>(1.0 / (1.0 + std::exp(-att)));
         for (int c = 0; c < ch; ++c) cur[c] *= gate;
+        break;
+      }
+      case kQIn: {
+        // quantize the incoming float frames: q = round(x / s) + zp
+        const float* qt = m->tensors[op.p[1]].data;  // [s, zp]
+        const float inv_s = 1.0f / qt[0];
+        const int zp = static_cast<int>(std::lround(qt[1]));
+        for (int i = 0; i < op.p[0]; ++i)
+          m->cur8[i] = clamp_i8(
+              static_cast<int>(std::lround(cur[i] * inv_s)) + zp);
+        cur_len = op.p[0];
+        break;
+      }
+      case kQConv: {
+        const int k = op.p[0], st = op.p[1], in_ch = op.p[2],
+                  out_ch = op.p[3];
+        const int dil = op.p[6] > 0 ? op.p[6] : 1;
+        const bool relu = op.p[7] != 0;
+        const int8_t* w = m->tensors[op.p[4]].i8;  // [k, in, out]
+        const float* qt = m->tensors[op.p[8]].data;  // [zp_in, zp_out, M..]
+        const int zp_in = static_cast<int>(std::lround(qt[0]));
+        const int zp_out = static_cast<int>(std::lround(qt[1]));
+        const float* mult = qt + 2;
+        const int ring = op.ring_rows;
+        const int rows = ring + st;  // == dil*(k-1) + 1
+        std::vector<int8_t>& mem8 = m->nxt8;
+        if (static_cast<int>(mem8.size()) < rows * in_ch)
+          mem8.resize(rows * in_ch);
+        for (int r = 0; r < ring; ++r)
+          std::memcpy(mem8.data() + r * in_ch, op.ring8.data() + r * in_ch,
+                      in_ch);
+        for (int r = 0; r < st; ++r)
+          std::memcpy(mem8.data() + (ring + r) * in_ch,
+                      m->cur8.data() + r * in_ch, in_ch);
+        for (int r = 0; r < ring; ++r)
+          std::memcpy(op.ring8.data() + r * in_ch,
+                      mem8.data() + (rows - ring + r) * in_ch, in_ch);
+        const int32_t* bias = op.p[5] >= 0 ? m->tensors[op.p[5]].i32 : nullptr;
+        std::vector<int32_t> acc(out_ch, 0);
+        for (int t = 0; t < k; ++t) {
+          const int8_t* row = mem8.data() + t * dil * in_ch;
+          const int8_t* wt = w + static_cast<int64_t>(t) * in_ch * out_ch;
+          for (int i = 0; i < in_ch; ++i) {
+            const int v = row[i] - zp_in;
+            if (v == 0) continue;
+            const int8_t* wo = wt + static_cast<int64_t>(i) * out_ch;
+            for (int o = 0; o < out_ch; ++o) acc[o] += v * wo[o];
+          }
+        }
+        const int lo = relu ? std::max(-128, zp_out) : -128;
+        for (int o = 0; o < out_ch; ++o) {
+          int a = acc[o] + (bias ? bias[o] : 0);
+          int q = static_cast<int>(std::lround(a * mult[o])) + zp_out;
+          m->cur8[o] = static_cast<int8_t>(std::min(127, std::max(lo, q)));
+        }
+        cur_len = out_ch;
+        break;
+      }
+      case kQMix: {
+        const int kmax = op.p[0], ch = op.p[1];
+        const int8_t* w = m->tensors[op.p[2]].i8;  // [kmax, ch]
+        const float* qt = m->tensors[op.p[3]].data;
+        const int zp_in = static_cast<int>(std::lround(qt[0]));
+        const int zp_out = static_cast<int>(std::lround(qt[1]));
+        const float* mult = qt + 2;
+        const int ring = op.ring_rows;
+        for (int c = 0; c < ch; ++c) {
+          int acc = (m->cur8[c] - zp_in) * w[(kmax - 1) * ch + c];
+          for (int t = 0; t < ring; ++t)
+            acc += (op.ring8[t * ch + c] - zp_in) * w[t * ch + c];
+          const int q = static_cast<int>(std::lround(acc * mult[c])) + zp_out;
+          m->nxt8[c] = clamp_i8(q);
+        }
+        if (ring > 0) {
+          std::memmove(op.ring8.data(), op.ring8.data() + ch,
+                       static_cast<size_t>(ch) * (ring - 1));
+          std::memcpy(op.ring8.data() + static_cast<size_t>(ch) * (ring - 1),
+                      m->cur8.data(), ch);
+        }
+        std::swap(m->cur8, m->nxt8);
+        cur_len = ch;
+        break;
+      }
+      case kQPw: {
+        const int in_ch = op.p[0], out_ch = op.p[1];
+        const bool relu = op.p[4] != 0;
+        const int8_t* w = m->tensors[op.p[2]].i8;  // [in, out]
+        const int32_t* bias = op.p[3] >= 0 ? m->tensors[op.p[3]].i32 : nullptr;
+        const float* qt = m->tensors[op.p[5]].data;
+        const int zp_in = static_cast<int>(std::lround(qt[0]));
+        const int zp_out = static_cast<int>(std::lround(qt[1]));
+        const float* mult = qt + 2;
+        std::vector<int32_t> acc(out_ch, 0);
+        for (int i = 0; i < in_ch; ++i) {
+          const int v = m->cur8[i] - zp_in;
+          if (v == 0) continue;
+          const int8_t* wo = w + static_cast<int64_t>(i) * out_ch;
+          for (int o = 0; o < out_ch; ++o) acc[o] += v * wo[o];
+        }
+        const int lo = relu ? std::max(-128, zp_out) : -128;
+        for (int o = 0; o < out_ch; ++o) {
+          const int a = acc[o] + (bias ? bias[o] : 0);
+          const int q = static_cast<int>(std::lround(a * mult[o])) + zp_out;
+          m->cur8[o] = static_cast<int8_t>(std::min(127, std::max(lo, q)));
+        }
+        cur_len = out_ch;
+        break;
+      }
+      case kQSave: {
+        auto& slot = m->res_slots8[op.p[1]];
+        slot.assign(m->cur8.begin(), m->cur8.begin() + op.p[0]);
+        break;
+      }
+      case kQRes: {
+        // branch = 1x1(saved) (BN folded); out = relu(cur + branch),
+        // all requantized to the output scale:
+        //   out_q = clamp(round((cur_q - zp_mid)*A + acc_o*B_o) + zp_out)
+        const int in_ch = op.p[0], out_ch = op.p[1];
+        const int8_t* w = m->tensors[op.p[2]].i8;
+        const int32_t* bias = op.p[3] >= 0 ? m->tensors[op.p[3]].i32 : nullptr;
+        const auto& saved = m->res_slots8[op.p[4]];
+        const float* qt = m->tensors[op.p[5]].data;
+        const int zp_sv = static_cast<int>(std::lround(qt[0]));
+        const int zp_mid = static_cast<int>(std::lround(qt[1]));
+        const int zp_out = static_cast<int>(std::lround(qt[2]));
+        const float a_mul = qt[3];
+        const float* b_mul = qt + 4;
+        std::vector<int32_t> acc(out_ch, 0);
+        for (int i = 0; i < in_ch; ++i) {
+          const int v = saved[i] - zp_sv;
+          if (v == 0) continue;
+          const int8_t* wo = w + static_cast<int64_t>(i) * out_ch;
+          for (int o = 0; o < out_ch; ++o) acc[o] += v * wo[o];
+        }
+        const int lo = std::max(-128, zp_out);  // relu
+        for (int o = 0; o < out_ch; ++o) {
+          const int a = acc[o] + (bias ? bias[o] : 0);
+          const float real = (m->cur8[o] - zp_mid) * a_mul + a * b_mul[o];
+          const int q = static_cast<int>(std::lround(real)) + zp_out;
+          m->cur8[o] = static_cast<int8_t>(std::min(127, std::max(lo, q)));
+        }
+        cur_len = out_ch;
+        break;
+      }
+      case kQTail: {
+        const int window = op.p[0], ch = op.p[1];
+        const bool pooled = op.p[2] != 0, max_pool = op.p[3] != 0;
+        const int ring = op.ring_rows;  // window - 1
+        std::vector<int8_t>& mem8 = m->nxt8;
+        if (static_cast<int>(mem8.size()) < window * ch)
+          mem8.resize(window * ch);
+        std::memcpy(mem8.data(), op.ring8.data(),
+                    static_cast<size_t>(ring) * ch);
+        std::memcpy(mem8.data() + static_cast<size_t>(ring) * ch,
+                    m->cur8.data(), ch);
+        std::memmove(op.ring8.data(), mem8.data() + ch,
+                     static_cast<size_t>(ring) * ch);
+        if (pooled) {
+          // same scale in/out: mean/max act on the raw q values
+          for (int c = 0; c < ch; ++c) {
+            if (max_pool) {
+              int8_t mx = -128;
+              for (int t = 0; t < window; ++t)
+                mx = std::max(mx, mem8[t * ch + c]);
+              m->cur8[c] = mx;
+            } else {
+              int sum = 0;
+              for (int t = 0; t < window; ++t) sum += mem8[t * ch + c];
+              m->cur8[c] = clamp_i8(static_cast<int>(std::lround(
+                  static_cast<double>(sum) / window)));
+            }
+          }
+          cur_len = ch;
+        } else {
+          std::swap(m->cur8, m->nxt8);
+          cur_len = window * ch;
+        }
+        break;
+      }
+      case kQDense: {
+        const int in_dim = op.p[0];
+        const int8_t* w = m->tensors[op.p[1]].i8;  // [in]
+        const float* qt = m->tensors[op.p[2]].data;  // [zp_in, s, bias]
+        const int zp_in = static_cast<int>(std::lround(qt[0]));
+        int64_t acc = 0;
+        for (int i = 0; i < in_dim; ++i)
+          acc += static_cast<int64_t>(m->cur8[i] - zp_in) * w[i];
+        const double logit = static_cast<double>(acc) * qt[1] + qt[2];
+        cur[0] = static_cast<float>(1.0 / (1.0 + std::exp(-logit)));
+        cur_len = 1;
         break;
       }
       default:
