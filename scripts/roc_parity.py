@@ -768,10 +768,18 @@ def main():
     ap.add_argument("--workdir", type=str, default=None)
     ap.add_argument("--run-one", type=str, default=None, choices=ARMS,
                     help="internal: train+eval a single (arm, seed)")
+    ap.add_argument("--build-features", action="store_true",
+                    help="internal: generate the dataset + feature stores "
+                         "(run in a subprocess so the study driver never "
+                         "initializes the TPU client -- a parent holding "
+                         "the single-chip device would deadlock the "
+                         "per-seed 'ours' subprocesses)")
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--jax-cpu", action="store_true",
                     help="run our side on CPU (e.g. when the TPU tunnel is "
                          "flaky); the reference side is always TF CPU")
+    ap.add_argument("--seed-timeout", type=float, default=1500.0,
+                    help="per-(arm, seed) wall-clock limit in seconds")
     args = ap.parse_args()
 
     if args.jax_cpu:
@@ -801,11 +809,27 @@ def main():
         print(path)
         return
 
+    if args.build_features:
+        assert args.workdir, "--build-features requires --workdir"
+        ensure_dataset(args.workdir, sizes)
+        return
+
     workdir = args.workdir or tempfile.mkdtemp(prefix="roc_parity_")
     print(f"workdir: {workdir}", file=sys.stderr)
-    ensure_dataset(workdir, sizes)
 
     import subprocess
+
+    if not os.path.exists(os.path.join(workdir, ".features_done")):
+        # dataset build touches the TPU; do it in a subprocess so this
+        # driver process never holds the device (see --build-features help)
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--build-features",
+             "--workdir", workdir] + (["--quick"] if args.quick else []),
+            capture_output=True, text=True,
+        )
+        if r.returncode != 0:
+            print(r.stderr[-3000:], file=sys.stderr)
+            raise RuntimeError("feature build failed")
 
     seeds = list(range(1, args.seeds + 1))
     arms = [a for a in args.arms.split(",") if a]
@@ -822,12 +846,24 @@ def main():
                 cmd.append("--quick")
             if args.jax_cpu:
                 cmd.append("--jax-cpu")
-            r = subprocess.run(cmd, capture_output=True, text=True)
+
+            def _run(c):
+                # hard per-seed timeout: a wedged TPU tunnel must fail the
+                # seed (and trigger the CPU fallback), not hang the study
+                try:
+                    return subprocess.run(c, capture_output=True, text=True,
+                                          timeout=args.seed_timeout)
+                except subprocess.TimeoutExpired:
+                    return subprocess.CompletedProcess(
+                        c, returncode=-9,
+                        stdout="", stderr="seed timed out")
+
+            r = _run(cmd)
             if r.returncode != 0 and arm.startswith("ours") and not args.jax_cpu:
-                print(f"[{arm} seed {seed}] TPU run failed; retrying on CPU",
+                print(f"[{arm} seed {seed}] TPU run failed "
+                      f"({r.stderr.strip()[-120:]}); retrying on CPU",
                       file=sys.stderr)
-                r = subprocess.run(cmd + ["--jax-cpu"], capture_output=True,
-                                   text=True)
+                r = _run(cmd + ["--jax-cpu"])
             if r.returncode != 0:
                 print(f"[{arm} seed {seed}] FAILED:\n{r.stderr[-2000:]}",
                       file=sys.stderr)
