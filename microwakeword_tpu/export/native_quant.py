@@ -13,8 +13,9 @@ multipliers -- the standard int8 inference scheme.  The input convention
 matches the reference's representative-dataset pinning: features span
 [0.0, 26.0] (reference utils.py:303-325).
 
-Supported: MixedNet (the flagship family).  spatial_attention models and
-Inception fall back to the float (v2) exporter.
+Supported: MixedNet and Inception (concat branches are quantized to one
+shared scale at export so the streaming concat is a pure int8 copy);
+spatial_attention models fall back to the float (v2) exporter.
 
 v3 binary layout (little-endian; native/src/mww_runtime.cc must match):
     u32 magic 'MWW1'   u32 version=3
@@ -38,6 +39,8 @@ Quantized op types:
     26 QTAIL  p: window, ch, pooled, max_pool, qt([zp]) ring: int8
     27 QDENSE p: in_dim, w, qt      qt = f32 [zp_in, s_in*s_w, bias]
               -> float sigmoid probability
+    28 QRESTORE p: ch, slot         cur8 = slot
+    29 QCONCAT  p: c1, slot1, c2, slot2, c3   (shared scale by export)
 """
 
 from __future__ import annotations
@@ -55,6 +58,7 @@ from microwakeword_tpu.models.mixednet import MixedNetConfig, tail_length
 
 OP_QIN, OP_QCONV, OP_QMIX, OP_QPW = 20, 21, 22, 23
 OP_QSAVE, OP_QRES, OP_QTAIL, OP_QDENSE = 24, 25, 26, 27
+OP_QRESTORE, OP_QCONCAT = 28, 29
 
 DT_F32, DT_I8, DT_I32 = 0, 1, 2
 
@@ -66,8 +70,6 @@ DT_F32, DT_I8, DT_I32 = 0, 1, 2
 # --------------------------------------------------------------------------
 def _build_stages(bundle, variables):
     cfg: MixedNetConfig = bundle.config
-    if bundle.name != "mixednet":
-        raise ValueError("int8 native export supports mixednet only")
     if cfg.spatial_attention:
         raise ValueError("int8 native export does not support spatial_attention")
     if cfg.mixconv_bias:
@@ -153,6 +155,92 @@ def _build_stages(bundle, variables):
     return stages
 
 
+def _build_stages_inception(bundle, variables):
+    """Inception as a quantized stage list (SubSpectralNorm folded into the
+    convs; the three branch-final stages of each block share a scale group
+    so the concat is a pure int8 copy)."""
+    from microwakeword_tpu.export.native_runtime import _ssn_fold_native
+    from microwakeword_tpu.models.inception import (
+        InceptionConfig,
+        tail_length as inception_tail,
+    )
+
+    cfg: InceptionConfig = bundle.config
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    stages = []
+    idx = 0
+
+    def conv_bn(in_ch, dilation=1, relu=True, group=None):
+        """ConvBnRelu_{idx} with the SSN folded: returns out channels."""
+        nonlocal idx
+        p = params[f"ConvBnRelu_{idx}"]
+        s = stats[f"ConvBnRelu_{idx}"]
+        if "PointwiseConv_0" in p:
+            w = np.asarray(p["PointwiseConv_0"]["kernel"], np.float64)
+            out_ch = w.shape[-1]
+            scale, offset = _ssn_fold_native(
+                p["SubSpectralNorm_0"], s["SubSpectralNorm_0"], out_ch
+            )
+            stages.append(
+                dict(kind="pw", in_ch=in_ch, out_ch=out_ch,
+                     w=w * np.asarray(scale, np.float64)[None, :],
+                     b=np.asarray(offset, np.float64), relu=relu, group=group)
+            )
+        else:
+            w = np.asarray(p["StreamConv_0"]["kernel"], np.float64)  # [k,in,out]
+            out_ch = w.shape[-1]
+            scale, offset = _ssn_fold_native(
+                p["SubSpectralNorm_0"], s["SubSpectralNorm_0"], out_ch
+            )
+            stages.append(
+                dict(kind="conv", k=w.shape[0], stride=1, in_ch=in_ch,
+                     out_ch=out_ch, dilation=dilation,
+                     w=w * np.asarray(scale, np.float64)[None, None, :],
+                     b=np.asarray(offset, np.float64), relu=relu, group=group)
+            )
+        idx += 1
+        return out_ch
+
+    ch = bundle.input_features
+    for _ in cfg.cnn1_filters:
+        ch = conv_bn(ch)
+
+    SLOT_IN, SLOT_B1, SLOT_B2 = 0, 1, 2
+    for gi, dil in enumerate(cfg.cnn2_dilation):
+        group = f"concat_{gi}"
+        stages.append(dict(kind="save", ch=ch, slot=SLOT_IN))
+        f1 = conv_bn(ch, group=group)  # b1: 1x1
+        stages.append(dict(kind="save", ch=f1, slot=SLOT_B1))
+        stages.append(dict(kind="restore", ch=ch, slot=SLOT_IN))
+        c = conv_bn(ch)  # b2: 1x1
+        c = conv_bn(c, dil, group=group)  # b2: k-conv
+        stages.append(dict(kind="save", ch=c, slot=SLOT_B2))
+        stages.append(dict(kind="restore", ch=ch, slot=SLOT_IN))
+        c3 = conv_bn(ch)  # b3: 1x1
+        c3 = conv_bn(c3, dil)
+        c3 = conv_bn(c3, dil, group=group)
+        stages.append(
+            dict(kind="concat", ch1=f1, slot1=SLOT_B1, ch2=c, slot2=SLOT_B2,
+                 ch3=c3, group=group)
+        )
+        ch = conv_bn(f1 + c + c3)  # post-concat 1x1
+    t_tail = inception_tail(cfg)
+    dense_in = ch
+    if t_tail > 1:
+        stages.append(
+            dict(kind="tail", window=t_tail, ch=ch, pooled=False,
+                 max_pool=False)
+        )
+        dense_in = t_tail * ch
+    stages.append(
+        dict(kind="dense", in_dim=dense_in,
+             w=np.asarray(params["Dense_0"]["kernel"], np.float64),
+             b=np.asarray(params["Dense_0"]["bias"], np.float64))
+    )
+    return stages
+
+
 def _simulate(stages, x):
     """Runs the folded float graph over [B, T, F]; returns (probs, ranges)
     where ranges[i] = (min, max) of stage i's output activations."""
@@ -162,15 +250,28 @@ def _simulate(stages, x):
         kind = st["kind"]
         if kind == "conv":
             k, s = st["k"], st["stride"]
-            t_out = (x.shape[1] - k) // s + 1
+            d = st.get("dilation", 1)
+            t_out = (x.shape[1] - d * (k - 1) - 1) // s + 1
             out = np.zeros((x.shape[0], t_out, st["out_ch"]))
             for j in range(k):
                 out += np.einsum(
-                    "bti,io->bto", x[:, j : j + (t_out - 1) * s + 1 : s], st["w"][j]
+                    "bti,io->bto",
+                    x[:, j * d : j * d + (t_out - 1) * s + 1 : s],
+                    st["w"][j],
                 )
+            if "b" in st:
+                out += st["b"][None, None, :]
             x = np.maximum(out, 0.0) if st["relu"] else out
         elif kind == "save":
             saved[st["slot"]] = x
+        elif kind == "restore":
+            x = saved[st["slot"]]
+        elif kind == "concat":
+            t = x.shape[1]
+            x = np.concatenate(
+                [saved[st["slot1"]][:, -t:], saved[st["slot2"]][:, -t:], x],
+                axis=-1,
+            )
         elif kind == "mix":
             kmax = st["kmax"]
             t_out = x.shape[1] - kmax + 1
@@ -260,15 +361,20 @@ class _QBuilder:
 
 def export_mixednet_int8(bundle, variables, path, calibration=None,
                          _return_debug=False):
-    """Exports a trained MixedNet as a full-int8 .mww (v3).
+    """Exports a trained MixedNet or Inception as a full-int8 .mww (v3).
 
     ``calibration``: [N, spectrogram_length, 40] float spectrograms in the
     [0, 26] feature convention.  Defaults to uniform noise spanning the
     range (fine for range calibration; real training windows are better --
     the CLI passes them).
     """
-    cfg: MixedNetConfig = bundle.config
-    stages = _build_stages(bundle, variables)
+    cfg = bundle.config
+    if bundle.name == "mixednet":
+        stages = _build_stages(bundle, variables)
+    elif bundle.name == "inception":
+        stages = _build_stages_inception(bundle, variables)
+    else:
+        raise ValueError(f"no int8 native exporter for model {bundle.name!r}")
 
     if calibration is None:
         rng = np.random.default_rng(0)
@@ -293,6 +399,20 @@ def export_mixednet_int8(bundle, variables, path, calibration=None,
         )
     _, ranges = _simulate(stages, calib)
 
+    # unify ranges within scale groups (concat branches share one scale so
+    # the concat is a pure int8 copy)
+    groups = {}
+    for i, st in enumerate(stages):
+        g = st.get("group")
+        if g is not None:
+            groups.setdefault(g, []).append(i)
+    ranges = list(ranges)
+    for idxs in groups.values():
+        lo = min(ranges[i][0] for i in idxs)
+        hi = max(ranges[i][1] for i in idxs)
+        for i in idxs:
+            ranges[i] = (lo, hi)
+
     b = _QBuilder()
     # input activation: pinned to the frontend's [0, 26] convention
     s_in, zp_in = _act_q(0.0, 26.0)
@@ -306,14 +426,27 @@ def export_mixednet_int8(bundle, variables, path, calibration=None,
         if kind == "conv":
             s_out, zp_out = _act_q(lo, hi)
             wq, sw = _w_q(st["w"], axis=(0, 1))  # [k,in,out] -> per out
+            bias_ref = -1
+            if "b" in st:
+                bias_q = np.round(st["b"] / (s_cur * sw)).astype(np.int64)
+                bias_q = np.clip(bias_q, -(2**31) + 1, 2**31 - 1)
+                bias_ref = b.tensor(bias_q.astype(np.int32), DT_I32)
             m = s_cur * sw / s_out
             qt = b.tensor(np.concatenate([[zp_cur, zp_out], m]), DT_F32)
             b.op(OP_QCONV, st["k"], st["stride"], st["in_ch"], st["out_ch"],
-                 b.tensor(wq, DT_I8), -1, 1, 1, qt)
+                 b.tensor(wq, DT_I8), bias_ref, st.get("dilation", 1),
+                 int(st["relu"]), qt)
             s_cur, zp_cur = s_out, zp_out
         elif kind == "save":
             save_scales[st["slot"]] = (s_cur, zp_cur)
             b.op(OP_QSAVE, st["ch"], st["slot"])
+        elif kind == "restore":
+            b.op(OP_QRESTORE, st["ch"], st["slot"])
+            s_cur, zp_cur = save_scales[st["slot"]]
+        elif kind == "concat":
+            # branches share the group scale: plain int8 concatenation
+            b.op(OP_QCONCAT, st["ch1"], st["slot1"], st["ch2"], st["slot2"],
+                 st["ch3"])
         elif kind == "mix":
             s_out, zp_out = _act_q(lo, hi)
             wq, sw = _w_q(st["w"], axis=(0,))  # [kmax, ch] -> per ch

@@ -280,7 +280,7 @@ def export_model(bundle, variables: dict, path: str, quantize: bool = False,
                  calibration=None) -> None:
     """Exports any supported model family to the native .mww format.
 
-    ``quantize=True`` emits the full-int8 v3 format (MixedNet only;
+    ``quantize=True`` emits the full-int8 v3 format (MixedNet + Inception;
     export/native_quant.py) -- int8 weights/activations/ring buffers with
     int32 accumulation, the role the reference fills with int8 TFLite
     (reference utils.py:327-348).  ``calibration``: representative

@@ -207,7 +207,7 @@ def main(argv=None):
             export_model(bundle, variables, quant_path, quantize=True,
                          calibration=calib)
             print(f"native int8 streaming model: {quant_path}")
-        except ValueError as e:  # e.g. inception / spatial_attention
+        except ValueError as e:  # e.g. spatial_attention has no int8 form
             print(f"native int8 export skipped: {e}")
 
     if flags.export_stablehlo:

@@ -44,6 +44,9 @@ enum OpType {
   kQRes = 25,      // p: in, out, w(i8), bias(i32), slot, qt
   kQTail = 26,     // p: window, ch, pooled, max_pool, qt([zp])
   kQDense = 27,    // p: in, w(i8), qt([zp_in, s_in*s_w, bias]) -> float prob
+  kQRestore = 28,  // p: ch, slot -- cur8 = slot
+  kQConcat = 29,   // p: c1, slot1, c2, slot2, c3 -- cur8 = [s1, s2, cur8]
+                   //    (branches quantized to one shared scale at export)
 };
 
 struct Op {
@@ -254,8 +257,13 @@ mww_model* mww_model_load(const char* path) {
         max_ch = std::max({max_ch, op.p[0], op.p[1]});
         break;
       case kQSave:
+      case kQRestore:
         n_slots = std::max(n_slots, op.p[1] + 1);
         max_ch = std::max(max_ch, op.p[0]);
+        break;
+      case kQConcat:
+        n_slots = std::max({n_slots, op.p[1] + 1, op.p[3] + 1});
+        max_ch = std::max(max_ch, op.p[0] + op.p[2] + op.p[4]);
         break;
       case kQDense:
         max_ch = std::max(max_ch, op.p[0]);
@@ -612,6 +620,22 @@ float mww_model_step(mww_model* m, const float* frames) {
       case kQSave: {
         auto& slot = m->res_slots8[op.p[1]];
         slot.assign(m->cur8.begin(), m->cur8.begin() + op.p[0]);
+        break;
+      }
+      case kQRestore: {
+        const auto& slot = m->res_slots8[op.p[1]];
+        std::memcpy(m->cur8.data(), slot.data(), op.p[0]);
+        cur_len = op.p[0];
+        break;
+      }
+      case kQConcat: {
+        const int c1 = op.p[0], c2 = op.p[2], c3 = op.p[4];
+        const auto& s1 = m->res_slots8[op.p[1]];
+        const auto& s2 = m->res_slots8[op.p[3]];
+        std::memmove(m->cur8.data() + c1 + c2, m->cur8.data(), c3);
+        std::memcpy(m->cur8.data(), s1.data(), c1);
+        std::memcpy(m->cur8.data() + c1, s2.data(), c2);
+        cur_len = c1 + c2 + c3;
         break;
       }
       case kQRes: {

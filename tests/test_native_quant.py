@@ -121,6 +121,48 @@ def test_int8_preserves_detections(tmp_path):
     assert np.all(np.abs(pf[differs] - 0.5) < 0.08)
 
 
+def test_int8_inception_tracks_float_runtime(tmp_path):
+    from microwakeword_tpu.models.inception import InceptionConfig
+
+    cfg = InceptionConfig(
+        cnn1_filters=(8,),
+        cnn1_kernel_sizes=(3,),
+        cnn1_subspectral_groups=(2,),
+        cnn2_filters1=(6, 8),
+        cnn2_filters2=(10, 12),
+        cnn2_kernel_sizes=(3, 5),
+        cnn2_subspectral_groups=(1, 2),
+        cnn2_dilation=(1, 2),
+        spectrogram_length=60,
+    )
+    bundle = build_model("inception", cfg)
+    variables = bundle.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(
+        jax.random.PRNGKey(1), (16, cfg.spectrogram_length, 40)
+    ) * 20
+    _, upd = bundle.forward_train(
+        variables, x, dropout_rng=jax.random.PRNGKey(2)
+    )
+    variables = dict(variables, batch_stats=upd["batch_stats"])
+    rng = np.random.default_rng(0)
+    calib = rng.uniform(0, 26, (64, cfg.spectrogram_length, 40))
+    f32_path = str(tmp_path / "inc.mww")
+    i8_path = str(tmp_path / "inc_q.mww")
+    export_model(bundle, variables, f32_path)
+    export_model(bundle, variables, i8_path, quantize=True, calibration=calib)
+    assert os.path.getsize(i8_path) < 0.6 * os.path.getsize(f32_path)
+    rt_f = native.StreamingRuntime(f32_path)
+    rt_q = native.StreamingRuntime(i8_path)
+    spec = rng.uniform(0, 26, (cfg.spectrogram_length * 3, 40)).astype(
+        np.float32
+    )
+    pf = rt_f.predict_spectrogram(spec)
+    pq = rt_q.predict_spectrogram(spec)
+    assert np.abs(pq - pf).max() < 0.08
+    rt_q.reset()
+    np.testing.assert_array_equal(pq, rt_q.predict_spectrogram(spec))
+
+
 def test_int8_rejects_unsupported_configs(tmp_path):
     cfg = MixedNetConfig(
         pointwise_filters=(8,),
