@@ -14,6 +14,7 @@ import argparse
 import ast
 import os
 
+import numpy as np
 import yaml
 
 
@@ -107,6 +108,11 @@ def main(argv=None):
     parser.add_argument("--export_native", type=int, default=1,
                         help="Export train_dir/native/model.mww for the C++ "
                              "streaming runtime (native/src/mww_runtime.cc)")
+    parser.add_argument("--test_native_quantized", type=int, default=0,
+                        help="Streamed ambient ROC of the exported full-int8 "
+                             "native model (native/model_quant.mww) through "
+                             "the C++ runtime -- the deployment artifact's "
+                             "own quality numbers (requires --export_native)")
     parser.add_argument("--export_stablehlo", type=int, default=1,
                         help="Export train_dir/stablehlo/model.mwwx, a "
                              "portable serialized jax.export artifact "
@@ -209,6 +215,28 @@ def main(argv=None):
             print(f"native int8 streaming model: {quant_path}")
         except ValueError as e:  # e.g. spatial_attention has no int8 form
             print(f"native int8 export skipped: {e}")
+
+    if (flags.test_native_quantized and flags.export_native
+            and os.path.exists(os.path.join(train_dir, "native",
+                                            "model_quant.mww"))
+            and feature_handler.get_mode_size("testing_ambient")):
+        from microwakeword_tpu.evaluate import streaming_model_roc
+        from microwakeword_tpu.native import StreamingRuntime
+
+        runner = StreamingRuntime(
+            os.path.join(train_dir, "native", "model_quant.mww"))
+
+        def native_stream_fn(_vars, x):
+            runner.reset()
+            return runner.predict_spectrogram(np.asarray(x)[0])
+
+        result = streaming_model_roc(
+            bundle, variables, feature_handler, config,
+            folder=os.path.join(train_dir, "native"),
+            accuracy_name="quantized_streaming_roc.txt",
+            stream_fn=native_stream_fn,
+        )
+        print(f"native int8 streaming ROC AUC: {result['auc']:.5f}")
 
     if flags.export_stablehlo:
         from microwakeword_tpu.export.stablehlo import export_streaming

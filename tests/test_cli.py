@@ -70,6 +70,7 @@ def test_cli_end_to_end(tmp_path, capsys):
         "--train", "1",
         "--test_streaming", "1",
         "--test_tf_nonstreaming", "1",
+        "--test_native_quantized", "1",
         "mixednet",
         "--pointwise_filters", "12,12",
         "--repeat_in_block", "1,1",
@@ -85,9 +86,16 @@ def test_cli_end_to_end(tmp_path, capsys):
     assert (run / "training_config.yaml").exists()
     assert (run / "streaming" / "streaming_roc.txt").exists()
     assert (run / "non_stream" / "testing_set_metrics.txt").exists()
+    assert (run / "stablehlo" / "model.mwwx").exists()
     out = capsys.readouterr().out
     assert "streaming ROC AUC" in out
     assert "nonstreaming accuracy" in out
+    from microwakeword_tpu import native
+
+    if native.available():
+        assert (run / "native" / "model_quant.mww").exists()
+        assert (run / "native" / "quantized_streaming_roc.txt").exists()
+        assert "native int8 streaming ROC AUC" in out
 
     # --train 0 path reuses saved weights
     main([
