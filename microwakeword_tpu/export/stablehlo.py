@@ -38,11 +38,30 @@ FORMAT_VERSION = 1
 
 def _export_fn(fn, args, platforms):
     """jax.export with a multi-platform lowering, falling back to the
-    current platform when a primitive lacks a cross-platform rule."""
+    current platform when a primitive lacks a cross-platform rule.
+
+    The fallback is loud (warning naming the lost platforms + cause) and the
+    artifact's meta.json records the platforms actually lowered, so a
+    reduced-platform artifact is never produced silently.  If the
+    single-platform retry fails too, the original multi-platform error is
+    re-raised as well so the real cause is not masked.
+    """
     try:
         return jax.export.export(jax.jit(fn), platforms=platforms)(*args)
-    except Exception:
-        return jax.export.export(jax.jit(fn))(*args)
+    except Exception as multi_err:
+        import warnings
+
+        warnings.warn(
+            f"multi-platform StableHLO lowering for {platforms} failed "
+            f"({type(multi_err).__name__}: {multi_err}); falling back to the "
+            f"current platform only -- the artifact will not run on the "
+            f"other platforms",
+            stacklevel=2,
+        )
+        try:
+            return jax.export.export(jax.jit(fn))(*args)
+        except Exception as single_err:
+            raise single_err from multi_err
 
 
 def export_streaming(bundle, variables, path, platforms=("cpu", "tpu")):

@@ -17,7 +17,11 @@ import subprocess
 import numpy as np
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_LIB_PATH = os.path.join(_REPO_ROOT, "native", "libmwwnative.so")
+# MWW_NATIVE_LIB overrides the library path (e.g. a -fsanitize=address build
+# for memory-safety verification of the C++ runtime).
+_LIB_PATH = os.environ.get(
+    "MWW_NATIVE_LIB", os.path.join(_REPO_ROOT, "native", "libmwwnative.so")
+)
 
 _lib = None
 _load_attempted = False

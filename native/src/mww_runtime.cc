@@ -87,6 +87,10 @@ struct mww_model {
   // scratch frames (double buffered)
   std::vector<float> cur, nxt;
   std::vector<int8_t> cur8, nxt8;
+  // preallocated int32 accumulator for the quantized matmul ops (kQConv/
+  // kQPw/kQRes) -- sized max_ch at load so the streaming hot loop never
+  // allocates (the float path's scratch is likewise preallocated)
+  std::vector<int32_t> acc32;
 };
 
 static void reset_state(mww_model* m) {
@@ -297,6 +301,13 @@ mww_model* mww_model_load(const char* path) {
     m->res_slots8.resize(n_slots);
     m->cur8.resize(max_ch + 8);
     m->nxt8.resize(max_ch + 8);
+    m->acc32.resize(max_ch + 8);
+    // size the int8 residual slots now (kQSave writes op.p[0] bytes into
+    // slot op.p[1]) so mww_model_step never reallocates them
+    for (auto& op : m->ops)
+      if (op.type == kQSave &&
+          static_cast<int>(m->res_slots8[op.p[1]].size()) < op.p[0])
+        m->res_slots8[op.p[1]].resize(op.p[0]);
   }
   reset_state(m);
   return m;
@@ -547,7 +558,8 @@ float mww_model_step(mww_model* m, const float* frames) {
           std::memcpy(op.ring8.data() + r * in_ch,
                       mem8.data() + (rows - ring + r) * in_ch, in_ch);
         const int32_t* bias = op.p[5] >= 0 ? m->tensors[op.p[5]].i32 : nullptr;
-        std::vector<int32_t> acc(out_ch, 0);
+        int32_t* acc = m->acc32.data();
+        std::fill(acc, acc + out_ch, 0);
         for (int t = 0; t < k; ++t) {
           const int8_t* row = mem8.data() + t * dil * in_ch;
           const int8_t* wt = w + static_cast<int64_t>(t) * in_ch * out_ch;
@@ -601,7 +613,8 @@ float mww_model_step(mww_model* m, const float* frames) {
         const int zp_in = static_cast<int>(std::lround(qt[0]));
         const int zp_out = static_cast<int>(std::lround(qt[1]));
         const float* mult = qt + 2;
-        std::vector<int32_t> acc(out_ch, 0);
+        int32_t* acc = m->acc32.data();
+        std::fill(acc, acc + out_ch, 0);
         for (int i = 0; i < in_ch; ++i) {
           const int v = m->cur8[i] - zp_in;
           if (v == 0) continue;
@@ -618,8 +631,9 @@ float mww_model_step(mww_model* m, const float* frames) {
         break;
       }
       case kQSave: {
+        // slot storage was sized at load; plain copy, no allocation
         auto& slot = m->res_slots8[op.p[1]];
-        slot.assign(m->cur8.begin(), m->cur8.begin() + op.p[0]);
+        std::memcpy(slot.data(), m->cur8.data(), op.p[0]);
         break;
       }
       case kQRestore: {
@@ -652,7 +666,8 @@ float mww_model_step(mww_model* m, const float* frames) {
         const int zp_out = static_cast<int>(std::lround(qt[2]));
         const float a_mul = qt[3];
         const float* b_mul = qt + 4;
-        std::vector<int32_t> acc(out_ch, 0);
+        int32_t* acc = m->acc32.data();
+        std::fill(acc, acc + out_ch, 0);
         for (int i = 0; i < in_ch; ++i) {
           const int v = saved[i] - zp_sv;
           if (v == 0) continue;
