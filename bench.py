@@ -122,6 +122,82 @@ _PHASE_KW = dict(
 
 REPS = 5  # timing samples per phase (median + IQR reported)
 
+# ---------------------------------------------------------------------------
+# Roofline / MFU accounting (VERDICT r3 item 1)
+# ---------------------------------------------------------------------------
+# Public chip specs.  The MFU denominator is the bf16 MXU peak: XLA's
+# default matmul precision on TPU executes f32 convs/matmuls as bf16 MXU
+# passes, so bf16 peak is the hardware ceiling the program actually sees.
+_PEAKS = {
+    "TPU v5 lite": {  # TPU v5e: 197 TFLOP/s bf16, 819 GB/s HBM
+        "peak_flops_per_sec": 197e12,
+        "hbm_bytes_per_sec": 819e9,
+        "flops_basis": "bf16",
+    },
+    "TPU v4": {
+        "peak_flops_per_sec": 275e12,
+        "hbm_bytes_per_sec": 1228e9,
+        "flops_basis": "bf16",
+    },
+}
+
+
+def _device_peaks():
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for k, v in _PEAKS.items():
+        if kind.startswith(k) or k in kind:
+            return dict(v, device_kind=kind)
+    return None
+
+
+def _cost_analysis(jitted, *args, **kw):
+    """flops + bytes-accessed of one compiled call, from XLA's own cost
+    model (Compiled.cost_analysis()).  'bytes accessed' counts each fused
+    computation's operands+outputs, i.e. intended HBM traffic after fusion.
+    Returns None when the backend can't report costs."""
+    try:
+        c = jitted.lower(*args, **kw).compile().cost_analysis()
+        d = c[0] if isinstance(c, (list, tuple)) else c
+        return {
+            "flops": float(d["flops"]),
+            "bytes_accessed": float(d["bytes accessed"]),
+        }
+    except Exception:
+        return None
+
+
+def _roofline(cost, units_per_call, sec_per_unit, peaks):
+    """Per-unit (= one optimizer step / one frontend batch) roofline stats.
+
+    cost is per compiled CALL; units_per_call divides it down (e.g. the
+    fused phase chains `chunk` optimizer steps per call)."""
+    if not cost:
+        return None
+    fl = cost["flops"] / units_per_call
+    by = cost["bytes_accessed"] / units_per_call
+    out = {
+        "flops_per_step": fl,
+        "hbm_bytes_per_step": by,
+        "achieved_flops_per_sec": fl / sec_per_unit,
+        "achieved_hbm_bytes_per_sec": by / sec_per_unit,
+        "arithmetic_intensity": fl / by if by else None,
+    }
+    if peaks:
+        ridge = peaks["peak_flops_per_sec"] / peaks["hbm_bytes_per_sec"]
+        out.update(
+            mfu=fl / sec_per_unit / peaks["peak_flops_per_sec"],
+            hbm_utilization=by / sec_per_unit / peaks["hbm_bytes_per_sec"],
+            # which roofline the program is under, per XLA's cost model
+            roofline_bound=(
+                "compute" if (fl / by if by else 0.0) >= ridge else "memory"
+            ),
+            compute_floor_sec=fl / peaks["peak_flops_per_sec"],
+            memory_floor_sec=by / peaks["hbm_bytes_per_sec"],
+        )
+    return out
+
 
 def _sample_stats(samples):
     """Median + IQR over repeated timing samples (seconds per unit).
@@ -145,8 +221,9 @@ def _sample_stats(samples):
 def _run_train_loop(bundle, variables, packed, cfg, steps, batch, chunk=50,
                     mesh=None, frontend_backend="xla", reps=REPS):
     """Times the fused step (precomputed features OR raw audio, by packed
-    type) chained `chunk` steps per XLA call.  Returns a list of `reps`
-    seconds/step samples (each timing `steps`/reps steps)."""
+    type) chained `chunk` steps per XLA call.  Returns (samples, cost):
+    a list of `reps` seconds/step samples (each timing `steps`/reps steps)
+    and the XLA cost-analysis of one compiled call (or None)."""
     import jax
 
     from microwakeword_tpu.train.loop import make_train_step
@@ -163,6 +240,19 @@ def _run_train_loop(bundle, variables, packed, cfg, steps, batch, chunk=50,
         params = replicate(params, mesh)
         batch_stats = replicate(batch_stats, mesh)
         opt_state = replicate(opt_state, mesh)
+    # cost analysis must come from a single-step program: XLA's cost model
+    # does NOT multiply a while/scan body by its trip count, so lowering the
+    # chained program under-reports flops by the chunk factor (verified
+    # against per-op trace model_flops: the frontend DFT+mel matmuls alone
+    # are ~27 GFLOP/step at batch 256).
+    _, step1 = make_train_step(
+        bundle, packed, batch, cfg.spectrogram_length, steps_per_call=1,
+        mesh=mesh, frontend_backend=frontend_backend,
+    )
+    cost = _cost_analysis(
+        step1.jitted, params, batch_stats, opt_state, jax.random.PRNGKey(0),
+        step1.get_corpus(), **_PHASE_KW,
+    )
     for i in range(2):
         params, batch_stats, opt_state, m = step(
             params, batch_stats, opt_state, jax.random.PRNGKey(i), **_PHASE_KW
@@ -181,13 +271,14 @@ def _run_train_loop(bundle, variables, packed, cfg, steps, batch, chunk=50,
             k += 1
         _fence(params)
         samples.append((time.perf_counter() - t0) / (calls_per_rep * chunk))
-    return samples
+    return samples, cost
 
 
-def measure_train(steps: int, batch: int):
+def measure_train(steps: int, batch: int, chunk: int = 50):
     cfg, bundle, variables = _flagship_model()
-    samples = _run_train_loop(
-        bundle, variables, _synthetic_packed(cfg), cfg, steps, batch
+    samples, cost = _run_train_loop(
+        bundle, variables, _synthetic_packed(cfg), cfg, steps, batch,
+        chunk=chunk,
     )
     stats = _sample_stats(samples)
     dt = stats["median"]
@@ -196,30 +287,43 @@ def measure_train(steps: int, batch: int):
         "audio_seconds_per_sec": batch * cfg.spectrogram_length * 0.010 / dt,
         "spectrogram_length": cfg.spectrogram_length,
         "batch": batch,
+        "chunk": chunk,
         "stats": stats,
+        "roofline": _roofline(cost, 1, dt, _device_peaks()),
     }
 
 
-def measure_fused_pipeline(steps: int, batch: int, frontend_backend: str = "xla"):
-    """The headline: raw PCM sampling + frontend + train in ONE program."""
+def measure_fused_pipeline(steps: int, batch: int, frontend_backend: str = "xla",
+                           chunk: int = 50):
+    """The headline: raw PCM sampling + frontend + train in ONE program.
+
+    ``chunk`` chains that many optimizer steps per XLA call; the headline
+    run uses a chunk large enough that one call is ~1 s of device work, so
+    tunnel/dispatch latency (2.6-40 ms measured, scripts/dispatch_probe.py)
+    is amortized to <5% instead of up to 50% at the old 50-step chunk."""
     cfg, bundle, variables = _flagship_model()
-    samples = _run_train_loop(
+    samples, cost = _run_train_loop(
         bundle, variables, _synthetic_packed_audio(cfg), cfg, steps, batch,
-        frontend_backend=frontend_backend,
+        frontend_backend=frontend_backend, chunk=chunk,
     )
     stats = _sample_stats(samples)
     dt = stats["median"]
     return {
         "steps_per_sec": 1.0 / dt,
         "audio_seconds_per_sec": batch * cfg.spectrogram_length * 0.010 / dt,
+        "chunk": chunk,
         "stats": stats,
+        "roofline": _roofline(cost, 1, dt, _device_peaks()),
     }
 
 
-def measure_population(n_models: int, steps: int, batch: int, chunk: int = 25):
+def measure_population(n_models: int, steps: int, batch: int, chunk: int = 100,
+                       share_batch: bool = True):
     """Sweep throughput: n_models trained concurrently (parallel/population),
     `chunk` optimizer steps chained per XLA call (dispatch amortization,
-    same as the single-model path)."""
+    same as the single-model path).  share_batch=True is the sweep
+    throughput mode (one corpus gather feeds all members); False gives every
+    member its own batch stream (solo-bit-identical semantics)."""
     import jax
     import jax.numpy as jnp
 
@@ -232,7 +336,8 @@ def measure_population(n_models: int, steps: int, batch: int, chunk: int = 25):
     packed = _synthetic_packed(cfg, n_clips=800)
     variables = init_population(bundle, range(n_models))
     optimizer, step = make_population_train_step(
-        bundle, packed, batch, cfg.spectrogram_length, steps_per_call=chunk
+        bundle, packed, batch, cfg.spectrogram_length, steps_per_call=chunk,
+        share_batch=share_batch,
     )
     opt_state = jax.vmap(optimizer.init)(variables["params"])
     keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(n_models, dtype=jnp.uint32))
@@ -240,6 +345,16 @@ def measure_population(n_models: int, steps: int, batch: int, chunk: int = 25):
             jnp.full((n_models,), 20.0))
     kw = dict(time_mask_max_size=5, time_mask_count=2,
               freq_mask_max_size=5, freq_mask_count=2)
+    # single-step program for cost analysis (see _run_train_loop note on
+    # while-loop trip counts)
+    _, step1 = make_population_train_step(
+        bundle, packed, batch, cfg.spectrogram_length, steps_per_call=1,
+        share_batch=share_batch,
+    )
+    cost = _cost_analysis(
+        step1, variables["params"], variables["batch_stats"], opt_state,
+        keys, *args, **kw
+    )
     p, bs, os_, m = step(
         variables["params"], variables["batch_stats"], opt_state, keys, *args,
         jnp.int32(0), **kw
@@ -263,7 +378,10 @@ def measure_population(n_models: int, steps: int, batch: int, chunk: int = 25):
         "n_models": n_models,
         "model_steps_per_sec": n_models / dt,
         "audio_seconds_per_sec": n_models * batch * cfg.spectrogram_length * 0.01 / dt,
+        "chunk": chunk,
         "stats": stats,
+        # roofline per POPULATION step (all n_models member-steps)
+        "roofline": _roofline(cost, 1, dt, _device_peaks()),
     }
 
 
@@ -291,8 +409,18 @@ def measure_frontend(reps: int, batch: int = 256, clip_s: float = 10.0,
     audio = rng.integers(-8000, 8000, (batch, n)).astype(np.int16)
 
     audio_j = jnp.asarray(audio)
+    import functools
+
+    cost = _cost_analysis(
+        jax.jit(functools.partial(fmod.frontend_batch, step_ms=10)), audio_j
+    )
     out = fmod.frontend_batch(audio_j, step_ms=10)
     _fence(out)
+    if vary_input:
+        # warm the perturb-then-frontend program too, or the first timed
+        # sample absorbs its compile (the r3 frontend_xla noise source)
+        out = fmod.frontend_batch(audio_j + jnp.int16(1), step_ms=10)
+        _fence(out)
     group = max(1, reps // REPS)
     samples = []
     k = 0
@@ -310,6 +438,8 @@ def measure_frontend(reps: int, batch: int = 256, clip_s: float = 10.0,
         "audio_seconds_per_sec": batch * clip_s / dt,
         "batch_seconds": dt,
         "stats": stats,
+        # roofline per frontend_batch call (batch x clip_s of audio)
+        "roofline": _roofline(cost, 1, dt, _device_peaks()),
     }
 
 
@@ -378,6 +508,12 @@ def main():
 
     backend = jax.default_backend()
     steps = args.steps or (200 if args.quick else 500)
+    # dispatch-proofing (VERDICT r3 item 3): one XLA call must carry enough
+    # device work that tunnel dispatch latency (2.6-40 ms measured) is noise.
+    # 2000 chained steps at ~2000 steps/s is ~1 s/call -> <4% worst case
+    # (measured: 512k audio-s/s at chunk 500 -> 567k at 2000, b128).
+    chunk = 100 if (args.quick or backend != "tpu") else 2000
+    sweep_chunk = 25 if args.quick else 500
 
     def log(msg):
         print(msg, file=sys.stderr, flush=True)
@@ -398,10 +534,10 @@ def main():
     def run_fused():
         if args.profile:
             with jax.profiler.trace(args.profile):
-                r = measure_fused_pipeline(steps, batch=args.batch)
+                r = measure_fused_pipeline(steps, batch=args.batch, chunk=chunk)
             log(f"[bench] profiler trace -> {args.profile}")
             return r
-        return measure_fused_pipeline(steps, batch=args.batch)
+        return measure_fused_pipeline(steps, batch=args.batch, chunk=chunk)
 
     fused = phase("fused pipeline", run_fused)
     if fused:
@@ -413,7 +549,7 @@ def main():
         # see tests/golden/reference_baseline.json end_to_end_b256)
         fused_b256 = phase(
             "fused pipeline (batch 256)",
-            lambda: measure_fused_pipeline(steps, batch=256),
+            lambda: measure_fused_pipeline(steps, batch=256, chunk=chunk),
         )
         if fused_b256:
             fused_b256["batch"] = 256
@@ -427,15 +563,32 @@ def main():
         fused_pallas = phase(
             "fused pipeline (pallas frontend)",
             lambda: measure_fused_pipeline(steps, batch=args.batch,
-                                           frontend_backend="pallas"),
+                                           frontend_backend="pallas",
+                                           chunk=chunk),
         )
+    headline_fe = "xla"
+    if backend == "tpu":
         if fused_pallas and (fused is None or
                              fused_pallas["audio_seconds_per_sec"]
                              > fused["audio_seconds_per_sec"]):
             fused_pallas["batch"] = args.batch
             fused, fused_pallas = fused_pallas, fused
+            headline_fe = "pallas"
             log("[bench] pallas frontend wins the fused headline")
-    train = phase("train", lambda: measure_train(steps, batch=args.batch))
+    # reproducibility gate: a fresh run of the winning fused config must
+    # agree with the recorded one (dispatch-proofing done = two consecutive
+    # headline measurements within +-10%)
+    fused_repeat = None
+    if fused and backend == "tpu":
+        fused_repeat = phase(
+            "fused repeat (reproducibility)",
+            lambda: measure_fused_pipeline(
+                steps, batch=fused.get("batch", args.batch), chunk=chunk,
+                frontend_backend=headline_fe,
+            ),
+        )
+    train = phase("train", lambda: measure_train(steps, batch=args.batch,
+                                                 chunk=chunk))
     if fused is None and train is None:
         raise RuntimeError("both fused and train measurements failed")
     fe_reps = 10 if args.quick else 30
@@ -455,12 +608,26 @@ def main():
         frontend_pallas = phase(
             "frontend pallas", lambda: measure_frontend(fe_reps, backend="pallas")
         )
+    sweep_steps = 100 if args.quick else 500
     sweep = phase(
-        "sweep", lambda: measure_population(8, 15 if args.quick else 60,
-                                            batch=args.batch),
+        "sweep (shared batch)",
+        lambda: measure_population(8, sweep_steps, batch=args.batch,
+                                   chunk=sweep_chunk, share_batch=True),
         fallback={"audio_seconds_per_sec": float("nan"),
                   "model_steps_per_sec": float("nan")},
     )
+    sweep_private = phase(
+        "sweep (private batches)",
+        lambda: measure_population(8, sweep_steps, batch=args.batch,
+                                   chunk=sweep_chunk, share_batch=False),
+    )
+    sweep32 = None
+    if backend == "tpu" and not args.quick:
+        sweep32 = phase(
+            "sweep 32 (shared batch)",
+            lambda: measure_population(32, sweep_steps, batch=args.batch,
+                                       chunk=sweep_chunk, share_batch=True),
+        )
 
     dp = None
     if not args.skip_dp:
@@ -487,11 +654,13 @@ def main():
     phase_stats = {}
     noisy_phases = []
     for name, rec in (
-        ("fused", fused), ("fused_alt_batch", fused_b256),
+        ("fused", fused), ("fused_repeat", fused_repeat),
+        ("fused_alt_batch", fused_b256),
         ("fused_pallas", fused_pallas), ("train", train),
         ("frontend_xla", frontend_xla),
         ("frontend_xla_same_input", frontend_xla_cached),
         ("frontend_pallas", frontend_pallas), ("sweep8", sweep),
+        ("sweep8_private", sweep_private), ("sweep32", sweep32),
     ):
         s = (rec or {}).get("stats")
         if not s:
@@ -499,10 +668,25 @@ def main():
         phase_stats[name] = {
             k: s[k] for k in ("median", "iqr", "iqr_pct_of_median", "n_samples")
         }
+        rl = (rec or {}).get("roofline")
+        if rl:
+            phase_stats[name]["roofline"] = {
+                k: (round(v, 6) if isinstance(v, float) else v)
+                for k, v in rl.items()
+            }
         if s["iqr_pct_of_median"] and s["iqr_pct_of_median"] > 20.0:
             noisy_phases.append(name)
             log(f"[bench] WARNING: phase '{name}' is noisy: IQR "
                 f"{s['iqr_pct_of_median']}% of median (samples {s['samples']})")
+
+    # reproducibility: two consecutive headline measurements within +-10%
+    repeat_ratio = None
+    if fused and fused_repeat:
+        repeat_ratio = (fused_repeat["audio_seconds_per_sec"]
+                        / fused["audio_seconds_per_sec"])
+        if abs(1.0 - repeat_ratio) > 0.10:
+            log(f"[bench] WARNING: headline not reproducible within 10% "
+                f"(repeat/first = {repeat_ratio:.3f})")
 
     baseline_path = os.path.join(
         os.path.dirname(__file__), "tests", "golden", "reference_baseline.json"
@@ -554,6 +738,55 @@ def main():
         ),
         "sweep8_audio_s_per_s": round(sweep["audio_seconds_per_sec"], 1),
         "sweep8_model_steps_per_sec": round(sweep["model_steps_per_sec"], 1),
+        # aggregate-throughput honesty check (VERDICT r3 item 2): >1 means
+        # training 8 models concurrently beats running them serially.
+        # sweep8 = share_batch mode (one gather feeds all members); the
+        # private-batch mode and the 32-member scaling point are reported
+        # alongside so the ratio's provenance is explicit.
+        "sweep8_vs_serial_ratio": (
+            round(sweep["model_steps_per_sec"] / train["steps_per_sec"], 2)
+            if sweep.get("model_steps_per_sec") and train else None
+        ),
+        "sweep8_private_model_steps_per_sec": (
+            round(sweep_private["model_steps_per_sec"], 1)
+            if sweep_private else None
+        ),
+        "sweep8_private_vs_serial_ratio": (
+            round(sweep_private["model_steps_per_sec"] / train["steps_per_sec"], 2)
+            if sweep_private and train else None
+        ),
+        "sweep32_model_steps_per_sec": (
+            round(sweep32["model_steps_per_sec"], 1) if sweep32 else None
+        ),
+        "sweep32_vs_serial_ratio": (
+            round(sweep32["model_steps_per_sec"] / train["steps_per_sec"], 2)
+            if sweep32 and train else None
+        ),
+        # absolute-utilization accounting (VERDICT r3 item 1): headline MFU
+        # vs the chip's bf16 peak + which roofline the step sits under
+        "headline_mfu": (
+            round(fused["roofline"]["mfu"], 6)
+            if fused and fused.get("roofline", {}) and
+            "mfu" in (fused.get("roofline") or {}) else None
+        ),
+        "headline_flops_per_step": (
+            (fused.get("roofline") or {}).get("flops_per_step") if fused else None
+        ),
+        "headline_hbm_bytes_per_step": (
+            (fused.get("roofline") or {}).get("hbm_bytes_per_step")
+            if fused else None
+        ),
+        "headline_roofline_bound": (
+            (fused.get("roofline") or {}).get("roofline_bound") if fused else None
+        ),
+        "device_peaks": _device_peaks(),
+        "headline_chunk": (fused or train).get("chunk"),
+        "headline_repeat_ratio": (
+            round(repeat_ratio, 3) if repeat_ratio is not None else None
+        ),
+        "headline_reproducible_10pct": (
+            abs(1.0 - repeat_ratio) <= 0.10 if repeat_ratio is not None else None
+        ),
         "phase_timing_stats": phase_stats,
         "noisy_phases": noisy_phases,
         "dp_virtual": dp,

@@ -135,6 +135,33 @@ def pack_training_data(
     )
 
 
+def gather_windows(array, off, n, start, length):
+    """Gathers [B] windows of ``length`` rows from a packed ragged array.
+
+    array: [total_rows, W]; off/n: [B] clip row-offset and row-count;
+    start: [B] window start RELATIVE to the clip (may be negative for
+    short clips = leading silence, or exceed n-length for fixed cutoffs).
+    Returns (windows [B, length, W] in array dtype, valid [B, length] bool).
+
+    Implementation note (the hottest op in training; trace evidence in
+    documentation/architecture.md): this is a clamped per-row gather.
+    Contiguous-slice alternatives (vmap(dynamic_slice) / lax.gather with
+    slice_sizes=(length, W), with an in-window shift gather correcting
+    short-clip alignment) were implemented and measured SLOWER in the
+    production step on a v5e: XLA serialized the vmapped slice into a
+    per-sample while loop, and the shift-correction take_along_axis cost as
+    much as the original gather.  Measured per-row gather cost is ~3-9 ns/row
+    (wider rows amortize better), so the effective levers are row width
+    (audio chunks: 320 B/row) and total row count (population training
+    shares one batch across members), not the gather formulation.
+    """
+    rel = start[:, None] + jnp.arange(length)[None, :]  # [B, L]
+    valid = (rel >= 0) & (rel < n[:, None])
+    rows = off[:, None] + jnp.clip(rel, 0, (n - 1)[:, None])
+    windows = jnp.take(array, rows, axis=0)
+    return windows, valid
+
+
 def apply_spec_augment(
     rng: jax.Array,
     feats: jnp.ndarray,
@@ -171,19 +198,32 @@ def apply_spec_augment(
     return feats
 
 
+HOP_SAMPLES = 160  # 10 ms at 16 kHz (the default window_step_ms=10 hop)
+WINDOW_CHUNKS = 3  # 480-sample frontend window = 3 hop chunks at 10 ms
+WINDOW_SAMPLES = 480  # 30 ms frontend window at 16 kHz
+
+
+def window_chunks_for_hop(hop_samples: int) -> int:
+    """Chunk rows a 480-sample frontend window spans (ceil).  3 at the
+    10 ms hop (exact), 2 at the 20 ms hop (640 gathered, 480 used)."""
+    return -(-WINDOW_SAMPLES // hop_samples)
+
+
 @flax.struct.dataclass
 class PackedAudioData:
     """Raw-audio training corpus resident in HBM, hop-aligned.
 
-    Audio is stored as [total_chunks, 160] int16 (160 samples = one 10 ms
-    hop at 16 kHz); every clip is zero-padded to a whole number of chunks so
-    window gathers are chunk-row gathers (small index arrays, no per-sample
-    gather).  The on-the-fly training mode (reference
-    ClipsHandlerWrapperGenerator, data.py:324-402) samples windows from
-    here and computes the frontend INSIDE the jitted train step.
+    Audio is stored as [total_chunks, hop_samples] int16 (one row = one
+    feature hop: 160 samples at the 10 ms step, 320 at the reference's
+    20 ms default step -- model_train_eval.py:61, SURVEY §8.8); every clip
+    is zero-padded to a whole number of chunks so window gathers are
+    chunk-row gathers (small index arrays, no per-sample gather).  The
+    on-the-fly training mode (reference ClipsHandlerWrapperGenerator,
+    data.py:324-402) samples windows from here and computes the frontend
+    INSIDE the jitted train step.
     """
 
-    chunks: jnp.ndarray  # [total_chunks, 160] int16
+    chunks: jnp.ndarray  # [total_chunks, hop_samples] int16
     clip_offset: jnp.ndarray  # [n_clips] int32 chunk offset
     clip_chunks: jnp.ndarray  # [n_clips] int32 chunk count
     provider_logits: jnp.ndarray  # [P] f32
@@ -192,24 +232,28 @@ class PackedAudioData:
     provider_label: jnp.ndarray  # [P] f32
     provider_penalty: jnp.ndarray  # [P] f32
     provider_strategy: jnp.ndarray  # [P] int32
+    # static (jit-time) hop width; 16 * window_step_ms
+    hop_samples: int = flax.struct.field(pytree_node=False, default=HOP_SAMPLES)
 
 
-HOP_SAMPLES = 160  # 10 ms at 16 kHz
-WINDOW_CHUNKS = 3  # 480-sample frontend window = 3 hop chunks
-
-
-def pack_audio_data(providers, shard_index=None, shard_count=None) -> PackedAudioData:
+def pack_audio_data(providers, shard_index=None, shard_count=None,
+                    step_ms: int = 10) -> PackedAudioData:
     """Packs raw (augmented) audio pools into chunk-aligned device arrays.
 
     Every provider must expose ``generate_audio_pool(shard_index,
     shard_count) -> list[np.ndarray]`` of float [-1, 1] or int16 clips
     (ClipsFeatureSet does); precomputed-spectrogram (mmap) providers have no
     raw audio and cannot join this mode.
+
+    ``step_ms`` is the frontend hop (config window_step_ms): chunk rows are
+    16*step_ms samples so one row is one feature hop at that step.
     """
     if shard_index is None:
         shard_index = jax.process_index()
     if shard_count is None:
         shard_count = jax.process_count()
+    hop = 16 * int(step_ms)
+    min_chunks = window_chunks_for_hop(hop)
     chunk_parts, offsets, counts = [], [], []
     p_logit, p_start, p_count, p_label, p_penalty, p_strategy = [], [], [], [], [], []
     chunk_pos = 0
@@ -229,12 +273,12 @@ def pack_audio_data(providers, shard_index=None, shard_count=None) -> PackedAudi
                 clip = np.round(
                     np.clip(clip * 32768.0, -32768.0, 32767.0)
                 ).astype(np.int16)
-            n = -(-len(clip) // HOP_SAMPLES)
-            if n < WINDOW_CHUNKS:
-                n = WINDOW_CHUNKS
-            padded = np.zeros(n * HOP_SAMPLES, np.int16)
+            n = -(-len(clip) // hop)
+            if n < min_chunks:
+                n = min_chunks
+            padded = np.zeros(n * hop, np.int16)
             padded[: len(clip)] = clip
-            chunk_parts.append(padded.reshape(n, HOP_SAMPLES))
+            chunk_parts.append(padded.reshape(n, hop))
             offsets.append(chunk_pos)
             counts.append(n)
             chunk_pos += n
@@ -260,6 +304,7 @@ def pack_audio_data(providers, shard_index=None, shard_count=None) -> PackedAudi
         provider_label=jnp.asarray(np.asarray(p_label, np.float32)),
         provider_penalty=jnp.asarray(np.asarray(p_penalty, np.float32)),
         provider_strategy=jnp.asarray(np.asarray(p_strategy, np.int32)),
+        hop_samples=hop,
     )
 
 
@@ -289,8 +334,10 @@ def sample_audio_feature_batch(
 
     r_prov, r_clip, r_win, r_aug = jax.random.split(rng, 4)
     b = batch_size
-    # window of L frames needs L + (WINDOW_CHUNKS - 1) hop chunks
-    n_chunks = features_length + WINDOW_CHUNKS - 1
+    hop = data.hop_samples  # static: 16 * window_step_ms
+    wc = window_chunks_for_hop(hop)
+    # window of L frames needs L + (wc - 1) hop chunks
+    n_chunks = features_length + wc - 1
 
     prov = jax.random.categorical(r_prov, data.provider_logits, shape=(b,))
     u_clip = jax.random.uniform(r_clip, (b,))
@@ -314,11 +361,8 @@ def sample_audio_feature_batch(
     # Short clips: right-align with leading silence (start may be negative).
     start = jnp.where(n > n_chunks, start_long, n - n_chunks)
 
-    rel = start[:, None] + jnp.arange(n_chunks)[None, :]  # [B, C]
-    valid = (rel >= 0) & (rel < n[:, None])
-    rows = off[:, None] + jnp.clip(rel, 0, (n - 1)[:, None])
-    chunks = jnp.take(data.chunks, rows, axis=0).astype(jnp.float32)
-    chunks = chunks * valid[:, :, None]  # [B, C, 160]
+    chunks, valid = gather_windows(data.chunks, off, n, start, n_chunks)
+    chunks = chunks.astype(jnp.float32) * valid[:, :, None]  # [B, C, hop]
 
     if frontend_backend == "pallas":
         # Fused Pallas kernel: frames/DFT/mel/AGC stay in VMEM tiles (no
@@ -330,17 +374,18 @@ def sample_audio_feature_batch(
         # chunks hold int16-valued floats; cast back so the wrapper doesn't
         # apply its float-in-[-1,1] x32768 convention.
         feats = FP.frontend_batch(
-            chunks.reshape(b, n_chunks * HOP_SAMPLES).astype(jnp.int16),
-            step_ms=10,
+            chunks.reshape(b, n_chunks * hop).astype(jnp.int16),
+            step_ms=hop // 16,
             interpret=jax.default_backend() != "tpu",
         )  # [B, L, 40]
     else:
         # Frame assembly from hop chunks (frontend/xla.py frame_audio logic
-        # on pre-chunked rows): frame t = chunks[t : t + 3] flattened.
+        # on pre-chunked rows): frame t = rows t..t+wc-1 flattened, first
+        # 480 samples (exact at the 10 ms hop; 640->480 at the 20 ms hop).
         frames = jnp.concatenate(
-            [chunks[:, j : features_length + j, :] for j in range(WINDOW_CHUNKS)],
+            [chunks[:, j : features_length + j, :] for j in range(wc)],
             axis=-1,
-        )  # [B, L, 480]
+        )[..., :WINDOW_SAMPLES]  # [B, L, 480]
         sf = F.scaled_filterbank(frames)
         est0 = jnp.zeros(sf.shape[:-2] + (sf.shape[-1],), jnp.float32)
         feats, _ = F.frontend_streaming(sf, est0, axis=-2)  # [B, L, 40]
@@ -379,23 +424,27 @@ class PackedMixedData:
     audio_fraction: float = flax.struct.field(pytree_node=False, default=0.5)
 
 
-def pack_mixed_data(providers, shard_index=None, shard_count=None):
+def pack_mixed_data(providers, shard_index=None, shard_count=None,
+                    step_ms: int = 10):
     """Packs a mixed provider list for raw-audio training.
 
     - all providers clips-type -> PackedAudioData (pure fused-audio path)
     - mixed                    -> PackedMixedData
     - all mmap                 -> PackedTrainingData (plain spectrogram path)
+
+    ``step_ms`` (config window_step_ms) sets the raw-audio chunk hop so the
+    in-step frontend computes features at the configured step.
     """
     audio_p = [p for p in providers if hasattr(p, "generate_audio_pool")]
     spec_p = [p for p in providers if not hasattr(p, "generate_audio_pool")]
     if not spec_p:
-        return pack_audio_data(providers, shard_index, shard_count)
+        return pack_audio_data(providers, shard_index, shard_count, step_ms)
     if not audio_p:
         return pack_training_data(providers, shard_index, shard_count)
     w_audio = sum(p.sampling_weight for p in audio_p)
     w_spec = sum(p.sampling_weight for p in spec_p)
     return PackedMixedData(
-        audio=pack_audio_data(audio_p, shard_index, shard_count),
+        audio=pack_audio_data(audio_p, shard_index, shard_count, step_ms),
         spec=pack_training_data(spec_p, shard_index, shard_count),
         audio_fraction=float(w_audio / max(w_audio + w_spec, 1e-12)),
     )
@@ -494,12 +543,9 @@ def sample_batch(
     # Short clips: right-align with left zero padding (start may be negative).
     start = jnp.where(n > length, start_long, n - length)
 
-    # 4. Gather windows.
-    rel = start[:, None] + jnp.arange(length)[None, :]  # [B, L]
-    valid = (rel >= 0) & (rel < n[:, None])
-    rows = off[:, None] + jnp.clip(rel, 0, (n - 1)[:, None])
-    feats = jnp.take(data.frames, rows, axis=0).astype(jnp.float32)
-    feats = feats * valid[:, :, None] * FEATURE_SCALE
+    # 4. Gather windows (contiguous slice per sample; see gather_windows).
+    feats, valid = gather_windows(data.frames, off, n, start, length)
+    feats = feats.astype(jnp.float32) * valid[:, :, None] * FEATURE_SCALE
 
     # 5. SpecAugment.
     if time_mask_count or freq_mask_count:

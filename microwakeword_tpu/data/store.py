@@ -529,13 +529,16 @@ class FeatureHandler:
 
         return pack_training_data(self.providers, shard_index, shard_count)
 
-    def pack_training_audio(self, shard_index=None, shard_count=None):
+    def pack_training_audio(self, shard_index=None, shard_count=None,
+                            step_ms: int = 10):
         """Packs for in-step frontend training (config ``raw_audio_training:
         true``).  clips-type sets contribute raw augmented audio; mmap sets
         contribute precomputed spectrograms -- mixed configs (e.g. generated
         positives + precomputed mmap negatives, like the reference's usual
         recipe, data.py:405-466) train on the fused path via
-        sampler.PackedMixedData."""
+        sampler.PackedMixedData.  ``step_ms`` is the frontend hop (config
+        window_step_ms; the reference's code default is 20, SURVEY §8.8)."""
         from microwakeword_tpu.data.sampler import pack_mixed_data
 
-        return pack_mixed_data(self.providers, shard_index, shard_count)
+        return pack_mixed_data(self.providers, shard_index, shard_count,
+                               step_ms)

@@ -4,14 +4,30 @@ Wake-word development is sweep-heavy (seeds, learning rates, class
 weights); the models are ~10^4-10^5 params, far too small to saturate even
 one TPU chip.  Training a *population* in one program -- parameters stacked
 on a leading axis, the train step vmapped over it, the population axis
-sharded over the mesh -- multiplies MXU utilization and is the TPU-native
-realization of "model-parallel across models" (SURVEY.md §2.3 TP note).
+sharded over the mesh -- is the TPU-native realization of "model-parallel
+across models" (SURVEY.md §2.3 TP note).
 
-Each member samples its own batches (per-member PRNG streams) and can have
-its own learning rate / class weights; the data (PackedTrainingData) is
-shared device memory.  A member's trajectory is bit-identical to training
-it alone with the same seeds (vmap is deterministic) -- verified in
-tests/test_population.py.
+What it buys, measured on a v5e (BENCH_r04 sweep lines; per-op trace in
+documentation/architecture.md): the vmap folds the member axis into the
+channel dimension of every conv, so N members' model math runs in N-fold
+wider kernels, and one program dispatch serves all members.  The step is
+NOT MXU-bound though -- the corpus window gather and the depthwise (VPU)
+convs dominate -- so the aggregate speedup over training members serially
+comes from (a) sharing the per-step batch gather across members
+(``share_batch=True``, the sweep throughput mode) and (b) amortizing
+fixed per-kernel overheads, not from MXU tiling alone.  Measured ceiling
+with everything dispatch-amortized (500-step chunks): ~2x aggregate
+member-steps/s at 8 members, ~2.8x at 32, bounded by the per-member
+marginal cost of the depthwise convs on the VPU (~100-130 us/member-step
+fwd+bwd, at 30-50% of VPU peak -- a hardware floor, not overhead).
+
+Batching semantics: with ``share_batch=False`` (default) each member
+samples its own batches (per-member PRNG streams) and every member's
+trajectory is bit-identical to training it alone with the same seeds
+(vmap is deterministic) -- verified in tests/test_population.py.  With
+``share_batch=True`` all members train on member 0's batch stream (member
+0 stays bit-identical to solo); per-member learning rates / class weights /
+dropout keys still apply.
 """
 
 from __future__ import annotations
@@ -44,12 +60,25 @@ def make_population_train_step(
     features_length: int,
     mesh=None,
     steps_per_call: int = 1,
+    share_batch: bool = False,
 ):
     """Builds (optimizer, step) for a stacked population.
 
     step(params, batch_stats, opt_state, rngs[N], learning_rates[N],
          pos_weights[N], neg_weights[N], *, spec-augment statics)
       -> (params, batch_stats, opt_state, metrics[N])
+
+    ``share_batch=True`` samples ONE batch per step and feeds it to every
+    member (the sweep throughput mode): the corpus gather -- the single
+    hottest op in the step, ~50% of the private-batch population step on a
+    v5e (trace: documentation/architecture.md) -- is paid once instead of
+    N times.  Member 0's trajectory stays bit-identical to solo training
+    with the same keys (it contributes the shared batch stream); members
+    i>0 train on member 0's batch stream with their own init / dropout /
+    hyperparameters -- the natural paired-comparison setup for seed and
+    hyperparameter sweeps.  With ``share_batch=False`` (default) every
+    member samples its own batches and every member is bit-identical to
+    training it alone (tests/test_population.py).
 
     With ``mesh``, the population axis is sharded over mesh('data'): each
     device trains its slice of the population; there are no cross-member
@@ -79,6 +108,25 @@ def make_population_train_step(
         )
         return weighted_bce(probs, labels, weights), (probs, updates["batch_stats"])
 
+    def update_from_batch(
+        params, batch_stats, opt_state, r_drop, learning_rate,
+        positive_class_weight, negative_class_weight, feats, labels, penalties,
+    ):
+        """fwd/bwd/opt on an already-sampled batch (the per-member part)."""
+        class_w = jnp.where(
+            labels > 0.5, positive_class_weight, negative_class_weight
+        )
+        weights = penalties * class_w
+        (loss, (probs, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, batch_stats, feats, labels, weights, r_drop)
+        opt_state.hyperparams["learning_rate"] = learning_rate
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        step_metrics = M.binary_metrics(probs, labels)
+        step_metrics["loss"] = loss
+        return params, new_stats, opt_state, step_metrics
+
     def member_step(
         params,
         batch_stats,
@@ -104,19 +152,11 @@ def make_population_train_step(
             freq_mask_max_size=freq_mask_max_size,
             freq_mask_count=freq_mask_count,
         )
-        class_w = jnp.where(
-            labels > 0.5, positive_class_weight, negative_class_weight
+        return update_from_batch(
+            params, batch_stats, opt_state, r_drop, learning_rate,
+            positive_class_weight, negative_class_weight,
+            feats, labels, penalties,
         )
-        weights = penalties * class_w
-        (loss, (probs, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(params, batch_stats, feats, labels, weights, r_drop)
-        opt_state.hyperparams["learning_rate"] = learning_rate
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        step_metrics = M.binary_metrics(probs, labels)
-        step_metrics["loss"] = loss
-        return params, new_stats, opt_state, step_metrics
 
     statics = (
         "time_mask_max_size",
@@ -130,6 +170,28 @@ def make_population_train_step(
               freq_mask_count):
         # spec-augment sizes are static (python ints) -> close over them so
         # pjit in_shardings only sees the 7 vmapped array args.
+        if share_batch:
+            # one gather for the whole population: batch keys/stream come
+            # from member 0 (exactly solo's split(rng) convention), dropout
+            # keys stay per-member
+            r_batch = jax.random.split(rngs[0])[0]
+            r_drops = jax.vmap(lambda k: jax.random.split(k)[1])(rngs)
+            feats, labels, penalties = S.sample_batch(
+                packed,
+                r_batch,
+                batch_size,
+                features_length,
+                time_mask_max_size=time_mask_max_size,
+                time_mask_count=time_mask_count,
+                freq_mask_max_size=freq_mask_max_size,
+                freq_mask_count=freq_mask_count,
+            )
+            return jax.vmap(
+                update_from_batch,
+                in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None),
+            )(params, batch_stats, opt_state, r_drops, lrs, pos_w, neg_w,
+              feats, labels, penalties)
+
         def member(p, bs, os_, r, lr, pw, nw):
             return member_step(
                 p, bs, os_, r, lr, pw, nw,
@@ -257,6 +319,7 @@ def train_population(
     maximization_metric: str = "average_viable_recall",
     target_minimization: float = 0.9,
     steps_per_call: int = 1,
+    share_batch: bool = False,
 ):
     """Trains a population; returns (stacked variables, history[, selection]).
 
@@ -298,13 +361,14 @@ def train_population(
     variables = init_population(bundle, seeds)
     params, batch_stats = variables["params"], variables["batch_stats"]
     optimizer, step_fn = make_population_train_step(
-        bundle, packed, batch_size, features_length, mesh=mesh
+        bundle, packed, batch_size, features_length, mesh=mesh,
+        share_batch=share_batch,
     )
     chunk_fn = None
     if steps_per_call > 1:
         _, chunk_fn = make_population_train_step(
             bundle, packed, batch_size, features_length, mesh=mesh,
-            steps_per_call=steps_per_call,
+            steps_per_call=steps_per_call, share_batch=share_batch,
         )
     opt_state = jax.vmap(optimizer.init)(params)
 

@@ -243,6 +243,9 @@ def make_train_step(
     call.swap_corpus = lambda new: holder.__setitem__("corpus", new)
     call.get_corpus = lambda: holder["corpus"]
     call.cache_size = jitted._cache_size
+    # underlying jit-wrapped fn, exposed for XLA cost analysis (bench.py
+    # lowers it to extract flops / bytes-accessed for MFU accounting)
+    call.jitted = jitted
     return optimizer, call
 
 
@@ -359,7 +362,9 @@ def train(
         f.write(model_summary(variables) + "\n")
 
     packed = (
-        feature_handler.pack_training_audio()
+        feature_handler.pack_training_audio(
+            step_ms=int(config.get("window_step_ms", 10))
+        )
         if config.get("raw_audio_training")
         else feature_handler.pack_training()
     )

@@ -687,3 +687,123 @@ def test_pool_refresher_swaps_without_retrace(tmp_path):
     final = history[-1]
     assert np.isfinite(final["train"]["loss"])
     assert final["train"]["accuracy"] > 0.9, final
+
+
+def test_sample_audio_feature_batch_20ms_matches_frontend():
+    """window_step_ms=20 on the fused raw-audio path (VERDICT r3 item 5):
+    hop-320 chunks + in-step frontend == frontend_batch(step_ms=20) on the
+    same window.  The reference's *code default* step is 20 ms
+    (model_train_eval.py:61, SURVEY §8.8)."""
+    from microwakeword_tpu.frontend import xla as F
+
+    rng = np.random.default_rng(7)
+    L = 30  # frames
+    hop = 320  # 16 * 20 ms
+    wc = S.window_chunks_for_hop(hop)
+    assert wc == 2  # 480-sample window spans 2 hop-320 rows
+    n_chunks = L + wc - 1
+    audio = rng.integers(-8000, 8000, n_chunks * hop).astype(np.int16)
+    packed = S.PackedAudioData(
+        chunks=jnp.asarray(audio.reshape(n_chunks, hop)),
+        clip_offset=jnp.asarray([0], jnp.int32),
+        clip_chunks=jnp.asarray([n_chunks], jnp.int32),
+        provider_logits=jnp.asarray([0.0], jnp.float32),
+        provider_clip_start=jnp.asarray([0], jnp.int32),
+        provider_clip_count=jnp.asarray([1], jnp.int32),
+        provider_label=jnp.asarray([1.0], jnp.float32),
+        provider_penalty=jnp.asarray([1.0], jnp.float32),
+        provider_strategy=jnp.asarray([S.TRUNCATE_START], jnp.int32),
+        hop_samples=hop,
+    )
+    feats, _, _ = jax.jit(
+        functools.partial(S.sample_audio_feature_batch, batch_size=2,
+                          features_length=L)
+    )(packed, jax.random.PRNGKey(0))
+    assert feats.shape == (2, L, 40)
+    want = np.asarray(F.frontend_batch(jnp.asarray(audio)[None, :], step_ms=20))
+    np.testing.assert_allclose(np.asarray(feats[0]), want[0, :L], atol=1e-4)
+
+
+class _FakeAudioProvider:
+    """Minimal clips-type provider for pack/refresh unit tests."""
+
+    def __init__(self, clips):
+        self.sampling_weight = 1.0
+        self.penalty_weight = 1.0
+        self.label = 1.0
+        self.truncation_strategy = "random"
+        self.fixed_right_cutoffs = []
+        self.clips = clips
+        self.calls = 0
+        self.fail_after = None
+
+    def generate_audio_pool(self, shard_index, shard_count):
+        self.calls += 1
+        if self.fail_after is not None and self.calls > self.fail_after:
+            raise RuntimeError("augmentation backend exploded")
+        return self.clips
+
+
+def test_pack_audio_data_20ms_hop():
+    """pack_audio_data(step_ms=20) chunks at hop 320 and the sampler reads
+    the hop from the packed data (no hidden 10 ms assumption)."""
+    rng = np.random.default_rng(8)
+    clips = [rng.uniform(-0.2, 0.2, 16000).astype(np.float32) for _ in range(3)]
+    packed = S.pack_audio_data([_FakeAudioProvider(clips)], 0, 1, step_ms=20)
+    assert packed.hop_samples == 320
+    assert packed.chunks.shape[1] == 320
+    L = 20
+    feats, _, _ = S.sample_audio_feature_batch(
+        packed, jax.random.PRNGKey(0), 2, L
+    )
+    assert feats.shape == (2, L, 40)
+    assert float(np.asarray(feats).max()) > 0
+
+
+def test_pool_refresher_worker_death_warns():
+    """A dead refresher worker must surface (VERDICT r3 weak #4): the
+    failure is recorded and the next due swap warns that training continues
+    on the stale pool."""
+    import types
+
+    from microwakeword_tpu.data.refresh import PoolRefresher
+
+    rng = np.random.default_rng(9)
+    clips = [rng.uniform(-0.2, 0.2, 8000).astype(np.float32) for _ in range(2)]
+    p = _FakeAudioProvider(clips)
+    packed = S.pack_audio_data([p], 0, 1)
+    p.fail_after = p.calls  # every future pool build raises
+    fh = types.SimpleNamespace(providers=[p])
+    r = PoolRefresher(fh, packed, interval_steps=1)
+    r.start()
+    r._thread.join(timeout=30)
+    assert not r._thread.is_alive()
+    assert r.failure is not None and "exploded" in r.failure
+    with pytest.warns(UserWarning, match="worker died"):
+        assert r.maybe_swap(packed, step=5) is None
+    # the warning is emitted once, not per step
+    import warnings as W
+
+    with W.catch_warnings():
+        W.simplefilter("error")
+        assert r.maybe_swap(packed, step=10) is None
+    r.stop()
+
+
+def test_pool_refresher_slot_mismatch_warns():
+    """Regenerated pools smaller than the packed layout cycle clips -- with
+    a warning, not silently (VERDICT r3 weak #5)."""
+    import types
+
+    from microwakeword_tpu.data.refresh import PoolRefresher
+
+    rng = np.random.default_rng(10)
+    clips = [rng.uniform(-0.2, 0.2, 8000).astype(np.float32) for _ in range(4)]
+    p = _FakeAudioProvider(clips)
+    packed = S.pack_audio_data([p], 0, 1)
+    p.clips = clips[:2]  # refresh returns fewer clips than packed slots
+    fh = types.SimpleNamespace(providers=[p])
+    r = PoolRefresher(fh, packed, interval_steps=1)
+    with pytest.warns(UserWarning, match="packed slots"):
+        chunks = r._build_chunks()
+    assert chunks.shape == tuple(packed.chunks.shape)

@@ -234,3 +234,79 @@ def test_population_chained_mesh_runs():
     )
     assert [h["step"] for h in history] == [6, 12]
     assert np.isfinite(history[-1]["loss"]).all()
+
+
+def test_share_batch_member0_matches_private_and_members_share_stream():
+    """share_batch=True (sweep throughput mode): member 0 is bit-identical
+    to the private-batch run with the same keys, and members with identical
+    init/hyperparameters stay identical (they train on the same batches)."""
+    bundle = build_model("mixednet", _cfg())
+    packed = _packed()
+    n = 3
+    # members 1 and 2 share an init seed; member 0 differs
+    variables = init_population(bundle, [7, 5, 5])
+    optimizer, shared = make_population_train_step(
+        bundle, packed, 8, 20, share_batch=True
+    )
+    _, private = make_population_train_step(
+        bundle, packed, 8, 20, share_batch=False
+    )
+    opt_state = jax.vmap(optimizer.init)(variables["params"])
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(n, dtype=jnp.uint32))
+    args = (jnp.full((n,), 0.01), jnp.ones((n,)), jnp.ones((n,)))
+    kw = dict(time_mask_max_size=0, time_mask_count=0,
+              freq_mask_max_size=0, freq_mask_count=0)
+
+    ps, bss, oss = variables["params"], variables["batch_stats"], opt_state
+    pp, bsp, osp = variables["params"], variables["batch_stats"], opt_state
+    for i in range(5):
+        step_keys = jax.vmap(
+            lambda k: jax.random.fold_in(k, i)
+        )(keys)
+        ps, bss, oss, ms = shared(ps, bss, oss, step_keys, *args, **kw)
+        pp, bsp, osp, mp = private(pp, bsp, osp, step_keys, *args, **kw)
+
+    # member 0: shared == private (it defines the shared batch stream)
+    for a, b in zip(
+        jax.tree.leaves(jax.tree.map(lambda x: x[0], ps)),
+        jax.tree.leaves(jax.tree.map(lambda x: x[0], pp)),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
+    # members 1 and 2: same init + same shared batches -> identical
+    for leaf in jax.tree.leaves(ps):
+        np.testing.assert_array_equal(np.asarray(leaf[1]), np.asarray(leaf[2]))
+    # ... but in the private run they diverge (different batch streams)
+    diffs = [
+        float(np.abs(np.asarray(leaf[1]) - np.asarray(leaf[2])).max())
+        for leaf in jax.tree.leaves(pp)
+    ]
+    assert max(diffs) > 1e-6
+
+
+def test_share_batch_chained_matches_unchained():
+    bundle = build_model("mixednet", _cfg())
+    packed = _packed()
+    n = 2
+    variables = init_population(bundle, [1, 2])
+    optimizer, one = make_population_train_step(
+        bundle, packed, 8, 20, share_batch=True
+    )
+    _, chained = make_population_train_step(
+        bundle, packed, 8, 20, share_batch=True, steps_per_call=4
+    )
+    opt_state = jax.vmap(optimizer.init)(variables["params"])
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(n, dtype=jnp.uint32))
+    args = (jnp.full((n,), 0.01), jnp.ones((n,)), jnp.ones((n,)))
+    kw = dict(time_mask_max_size=2, time_mask_count=1,
+              freq_mask_max_size=2, freq_mask_count=1)
+
+    p1, bs1, os1 = variables["params"], variables["batch_stats"], opt_state
+    for i in range(1, 5):
+        step_keys = jax.vmap(lambda k: jax.random.fold_in(k, i))(keys)
+        p1, bs1, os1, _ = one(p1, bs1, os1, step_keys, *args, **kw)
+    p4, bs4, os4, _ = chained(
+        variables["params"], variables["batch_stats"], opt_state, keys,
+        *args, jnp.int32(0), **kw
+    )
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p4)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
