@@ -108,6 +108,17 @@ def build_tf_streaming_mixednet(cfg: MixedNetConfig, params, batch_stats,
     dense_bias = np.asarray(p["Dense_0"]["bias"], np.float32)
     t_tail = tail_length(cfg)
 
+    att_kernel = None
+    if cfg.spatial_attention and t_tail > 1:
+        if streaming and not cfg.pooled:
+            # same constraint (and message) as export/native_runtime.py:
+            # streaming attention gates only the newest frame, so a
+            # non-pooled flatten would mismatch the trained Dense shape
+            raise ValueError("spatial_attention requires pooled=True for streaming")
+        att_kernel = np.asarray(
+            p["SpatialAttention_0"]["StreamConv_0"]["kernel"], np.float32
+        )  # [k, 2, 1]
+
     # ---- pre-create ring-buffer variables (static sizes) --------------
     from microwakeword_tpu.models.layers import conv_ring_size
 
@@ -128,7 +139,12 @@ def build_tf_streaming_mixednet(cfg: MixedNetConfig, params, batch_stats,
                         if kmax > 1:
                             ring_specs.append((kmax - 1, entry["mixconv"].shape[2]))
                     ch = entry["pointwise"][0].shape[-1]
-        if t_tail > 1:
+        if att_kernel is not None:
+            # attention replaces the tail window: ring of (mean, max)
+            # pooled frames; only the newest (gated) frame feeds Dense
+            # (models/mixednet.py SpatialAttention streaming semantics)
+            ring_specs.append((att_kernel.shape[0] - 1, 2))
+        elif t_tail > 1:
             tail_in = 1  # streaming blocks emit one frame per step
             ring_specs.append((t_tail - tail_in, ch))
         for i, (frames, channels) in enumerate(ring_specs):
@@ -196,7 +212,36 @@ def build_tf_streaming_mixednet(cfg: MixedNetConfig, params, batch_stats,
                         net = net + residual
                     net = tf.nn.relu(net)
 
-        if t_tail > 1:
+        if t_tail > 1 and att_kernel is not None:
+            # CBAM spatial attention (models/mixednet.py SpatialAttention):
+            # att = sigmoid(conv_k over per-frame (mean, max) channel
+            # pools); gates the trailing frames (streaming: the newest one)
+            pooled = tf.stack(
+                [tf.reduce_mean(net, axis=-1), tf.reduce_max(net, axis=-1)],
+                axis=-1,
+            )  # [1, T, 1, 2]
+            if streaming:
+                v = next(ring_iter)
+                mem = tf.concat([v, pooled], axis=1)  # [1, k, 1, 2]
+                assign = v.assign(mem[:, -(att_kernel.shape[0] - 1):])
+                with tf.control_dependencies([assign]):
+                    pooled = tf.identity(mem)
+            att = tf.sigmoid(
+                tf.nn.conv2d(
+                    pooled, att_kernel[:, None, :, :], strides=1,
+                    padding="VALID",
+                )
+            )  # [1, T-k+1, 1, 1] (streaming: [1, 1, 1, 1])
+            t_att = att.shape[1]
+            net = net[:, -t_att:] * att
+            if cfg.pooled:
+                # pool over the gated window (t_att frames; streaming: 1,
+                # where pooling is the identity)
+                if cfg.max_pool:
+                    net = tf.reduce_max(net, axis=1, keepdims=True)
+                else:
+                    net = tf.reduce_mean(net, axis=1, keepdims=True)
+        elif t_tail > 1:
             if streaming:
                 ring = t_tail - net.shape[1]
                 v = next(ring_iter)

@@ -263,6 +263,26 @@ MODEL_FLAGS = dict(
     stride=3,
 )
 
+# Inception arm (VERDICT r3 item 6): same flag strings parse in both
+# frameworks (reference inception.py:146-209 / model_train_eval.py
+# add_inception_flags).  Subspectral groups must divide the channel dims.
+INCEPTION_FLAGS = dict(
+    cnn1_filters="16",
+    cnn1_kernel_sizes="5",
+    cnn1_subspectral_groups="2",
+    cnn2_filters1="10,10",
+    cnn2_filters2="12,12",
+    cnn2_kernel_sizes="5,7",
+    cnn2_subspectral_groups="1,1",
+    cnn2_dilation="1,1",
+    dropout=0.2,
+)
+
+MODELS = {
+    "mixednet": {"flags": MODEL_FLAGS, "stride": 3},
+    "inception": {"flags": INCEPTION_FLAGS, "stride": 1},
+}
+
 
 def train_config(root, train_dir, steps, batch, seed=0):
     """steps: total step count; split 3:1 into a high-lr and a low-lr phase
@@ -300,7 +320,7 @@ def train_config(root, train_dir, steps, batch, seed=0):
 
 
 # --------------------------- framework runs --------------------------------
-def run_ours(root, train_dir, steps, batch, seed=0):
+def run_ours(root, train_dir, steps, batch, seed=0, model="mixednet"):
     from microwakeword_tpu.config import derive_config
     from microwakeword_tpu.data.store import FeatureHandler
     from microwakeword_tpu.evaluate import streaming_model_roc
@@ -308,12 +328,12 @@ def run_ours(root, train_dir, steps, batch, seed=0):
     from microwakeword_tpu.models import build_model
     from microwakeword_tpu.train import loop as training
 
-    flags = types.SimpleNamespace(model_name="mixednet", **MODEL_FLAGS)
+    flags = types.SimpleNamespace(model_name=model, **MODELS[model]["flags"])
     model_cfg = model_config_from_flags(flags)
     config = derive_config(
         train_config(root, train_dir, steps, batch, seed=seed), model_cfg
     )
-    bundle = build_model("mixednet", config["model_config"])
+    bundle = build_model(model, config["model_config"])
     fh = FeatureHandler(config)
     t0 = time.perf_counter()
     training.train(bundle, config, fh)
@@ -339,7 +359,7 @@ def run_ours(root, train_dir, steps, batch, seed=0):
     return out
 
 
-def run_reference(root, train_dir, steps, batch, seed=0):
+def run_reference(root, train_dir, steps, batch, seed=0, model="mixednet"):
     install_shims()
     import random as pyrandom
 
@@ -352,15 +372,17 @@ def run_reference(root, train_dir, steps, batch, seed=0):
     np.random.seed(seed % (2**32))
     tf.random.set_seed(seed)
     from microwakeword import data as rdata
+    from microwakeword import inception as rinception
     from microwakeword import mixednet as rmixednet
     from microwakeword import test as rtest
     from microwakeword import train as rtrain
     from microwakeword import utils as rutils
     from microwakeword.layers import modes as rmodes
 
-    flags = types.SimpleNamespace(**MODEL_FLAGS)
-    dropped = rmixednet.spectrogram_slices_dropped(flags)
-    stride = MODEL_FLAGS["stride"]
+    rmod = rinception if model == "inception" else rmixednet
+    flags = types.SimpleNamespace(**MODELS[model]["flags"])
+    dropped = rmod.spectrogram_slices_dropped(flags)
+    stride = MODELS[model]["stride"]
     final = 1 + (16 * 1500 - 480) // (stride * 16 * 10)
     length = final + dropped
 
@@ -372,7 +394,7 @@ def run_reference(root, train_dir, steps, batch, seed=0):
     os.makedirs(train_dir, exist_ok=True)
 
     data_processor = rdata.FeatureHandler(config)
-    model = rmixednet.model(flags, (length, 40), batch)
+    model = rmod.model(flags, (length, 40), batch)
 
     # TF 2.21 Keras model.evaluate(return_dict=True) yields plain floats /
     # numpy arrays; the reference (written for tf 2.16) calls .numpy() on
@@ -403,7 +425,7 @@ def run_reference(root, train_dir, steps, batch, seed=0):
     # + best/last weights -> streaming SavedModel -> TFLite -> streamed ROC.
     out = {"train_seconds": train_s, "spectrogram_length": length}
     for which in ("best", "last"):
-        eval_model = rmixednet.model(flags, (length, 40), 1)
+        eval_model = rmod.model(flags, (length, 40), 1)
         eval_model.load_weights(
             os.path.join(train_dir, f"{which}_weights.weights.h5")
         )
@@ -585,32 +607,33 @@ def summarize(result):
     return out
 
 
-def run_one(arm, seed, workdir, steps, batch):
+def run_one(arm, seed, workdir, steps, batch, model="mixednet"):
     """Trains + evaluates one seed of one arm; writes the per-seed json."""
     res_dir = os.path.join(workdir, "seed_results")
     os.makedirs(res_dir, exist_ok=True)
-    out_path = os.path.join(res_dir, f"{arm}_{seed}.json")
+    prefix = "" if model == "mixednet" else f"{model}_"
+    out_path = os.path.join(res_dir, f"{prefix}{arm}_{seed}.json")
     if os.path.exists(out_path):
         return out_path
-    train_dir = os.path.join(workdir, "runs", f"{arm}_{seed}")
+    train_dir = os.path.join(workdir, "runs", f"{prefix}{arm}_{seed}")
     if arm == "ref":
         result = run_reference(
             os.path.join(workdir, "ref_features"), train_dir, steps, batch,
-            seed=seed,
+            seed=seed, model=model,
         )
     elif arm == "ours_on_ref":
         result = run_ours(
             os.path.join(workdir, "ref_features_ours_fmt"), train_dir, steps,
-            batch, seed=seed,
+            batch, seed=seed, model=model,
         )
     elif arm == "ours":
         result = run_ours(
             os.path.join(workdir, "ours_features"), train_dir, steps, batch,
-            seed=seed,
+            seed=seed, model=model,
         )
     else:
         raise ValueError(f"unknown arm {arm}")
-    record = {"arm": arm, "seed": seed, **summarize(result)}
+    record = {"arm": arm, "seed": seed, "model": model, **summarize(result)}
     with open(out_path, "w") as f:
         json.dump(record, f, indent=2)
     return out_path
@@ -668,12 +691,13 @@ def _compare(ours_values, ref_values):
     }
 
 
-def aggregate(workdir, seeds, out_path, design):
+def aggregate(workdir, seeds, out_path, design, model="mixednet"):
     res_dir = os.path.join(workdir, "seed_results")
+    prefix = "" if model == "mixednet" else f"{model}_"
     per_arm = {arm: [] for arm in ARMS}
     for arm in ARMS:
         for seed in seeds:
-            p = os.path.join(res_dir, f"{arm}_{seed}.json")
+            p = os.path.join(res_dir, f"{prefix}{arm}_{seed}.json")
             if os.path.exists(p):
                 with open(p) as f:
                     per_arm[arm].append(json.load(f))
@@ -775,6 +799,10 @@ def main():
                          "the single-chip device would deadlock the "
                          "per-seed 'ours' subprocesses)")
     ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--model", type=str, default="mixednet",
+                    choices=sorted(MODELS),
+                    help="model family for all arms (inception adds the "
+                         "VERDICT r3 item 6 parity arm)")
     ap.add_argument("--jax-cpu", action="store_true",
                     help="run our side on CPU (e.g. when the TPU tunnel is "
                          "flaky); the reference side is always TF CPU")
@@ -805,7 +833,8 @@ def main():
                 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
             except Exception:
                 pass
-        path = run_one(args.run_one, args.seed, args.workdir, steps, batch)
+        path = run_one(args.run_one, args.seed, args.workdir, steps, batch,
+                       model=args.model)
         print(path)
         return
 
@@ -834,14 +863,17 @@ def main():
     seeds = list(range(1, args.seeds + 1))
     arms = [a for a in args.arms.split(",") if a]
     t0 = time.perf_counter()
+    prefix = "" if args.model == "mixednet" else f"{args.model}_"
     for seed in seeds:
         for arm in arms:
-            done = os.path.join(workdir, "seed_results", f"{arm}_{seed}.json")
+            done = os.path.join(workdir, "seed_results",
+                                f"{prefix}{arm}_{seed}.json")
             if os.path.exists(done):
                 continue
             cmd = [sys.executable, os.path.abspath(__file__),
                    "--run-one", arm, "--seed", str(seed),
-                   "--workdir", workdir, "--steps", str(steps)]
+                   "--workdir", workdir, "--steps", str(steps),
+                   "--model", args.model]
             if args.quick:
                 cmd.append("--quick")
             if args.jax_cpu:
@@ -874,7 +906,8 @@ def main():
 
     out = args.out or os.path.join(
         os.path.dirname(__file__), "..", "tests", "golden",
-        "roc_parity_report.json",
+        "roc_parity_report.json" if args.model == "mixednet"
+        else f"roc_parity_{args.model}_report.json",
     )
     design = {
         "steps": steps,
@@ -892,7 +925,9 @@ def main():
                     "features (end-to-end)",
         },
     }
-    report = aggregate(workdir, seeds, out, design)
+    design["model"] = args.model
+    design["model_flags"] = dict(MODELS[args.model]["flags"])
+    report = aggregate(workdir, seeds, out, design, model=args.model)
     print(json.dumps({
         "parity": report["parity"],
         "last_frr_at_2faph": {

@@ -1,8 +1,8 @@
 """Trainer step-equivalence A/B (cross-framework, same weights, same data).
 
-Transplants a freshly initialized reference Keras MixedNet's weights into
-this framework's parameter pytree, then drives BOTH trainers over the
-IDENTICAL batch sequence and compares:
+Transplants a freshly initialized reference Keras model's weights
+(MixedNet or Inception, --model) into this framework's parameter pytree,
+then drives BOTH trainers over the IDENTICAL batch sequence and compares:
 
 1. forward parity: probabilities agree on the same input before training;
 2. loss-trajectory parity: per-step training losses agree step for step
@@ -16,8 +16,16 @@ same function.  Reference components exercised: mixednet.model
 (mixednet.py:278-386), Keras train_on_batch (train.py:295-299 semantics),
 Adam + BinaryCrossentropy (train.py:206-207).
 
-Run: python scripts/trainer_ab.py [--steps 30] [--out report.json]
-Writes tests/golden/trainer_ab_report.json by default.
+Run: python scripts/trainer_ab.py [--model mixednet|inception] [--steps 30]
+Writes tests/golden/trainer_ab_report.json (mixednet) /
+tests/golden/trainer_ab_inception_report.json by default.
+
+Inception notes (VERDICT r3 item 6): the reference's branch convs pass
+padding="None" -- a string, so its Delay layers and 'same' padding are
+dead code and branches use valid padding with StridedDrop alignment
+(SURVEY §8.3); our model implements that directly, so weights transplant
+positionally.  Dropout is set to 0 in both frameworks (per-framework RNG
+streams cannot be aligned).
 """
 import argparse
 import json
@@ -44,6 +52,19 @@ MODEL_FLAGS = dict(
     stride=3,
 )
 SPEC_LEN = 120  # 1.5 s clip at 10 ms step, stride 3 (plus dropped slices)
+
+INCEPTION_FLAGS = dict(
+    cnn1_filters="10",
+    cnn1_kernel_sizes="3",
+    cnn1_subspectral_groups="2",
+    cnn2_filters1="8,10",
+    cnn2_filters2="10,12",
+    cnn2_kernel_sizes="3,5",
+    cnn2_subspectral_groups="1,2",
+    cnn2_dilation="1,2",
+    dropout=0.0,  # per-framework dropout RNGs cannot be aligned
+)
+INCEPTION_SPEC_LEN = 60  # > slices dropped (22) + streaming tail
 
 
 def build_reference(batch_size):
@@ -145,8 +166,140 @@ def transfer_weights(keras_model, variables):
     return {"params": params, "batch_stats": stats}
 
 
+def build_reference_inception(batch_size):
+    import types
+
+    from microwakeword import inception as rinception
+
+    flags = types.SimpleNamespace(**INCEPTION_FLAGS)
+    return rinception.model(flags, (INCEPTION_SPEC_LEN, 40), batch_size)
+
+
+def build_ours_inception():
+    from microwakeword_tpu.models import build_model
+    from microwakeword_tpu.models.inception import InceptionConfig
+
+    def parse(s):
+        return [int(v) for v in str(s).split(",")]
+
+    cfg = InceptionConfig(
+        cnn1_filters=tuple(parse(INCEPTION_FLAGS["cnn1_filters"])),
+        cnn1_kernel_sizes=tuple(parse(INCEPTION_FLAGS["cnn1_kernel_sizes"])),
+        cnn1_subspectral_groups=tuple(
+            parse(INCEPTION_FLAGS["cnn1_subspectral_groups"])
+        ),
+        cnn2_filters1=tuple(parse(INCEPTION_FLAGS["cnn2_filters1"])),
+        cnn2_filters2=tuple(parse(INCEPTION_FLAGS["cnn2_filters2"])),
+        cnn2_kernel_sizes=tuple(parse(INCEPTION_FLAGS["cnn2_kernel_sizes"])),
+        cnn2_subspectral_groups=tuple(
+            parse(INCEPTION_FLAGS["cnn2_subspectral_groups"])
+        ),
+        cnn2_dilation=tuple(parse(INCEPTION_FLAGS["cnn2_dilation"])),
+        dropout=float(INCEPTION_FLAGS["dropout"]),
+        spectrogram_length=INCEPTION_SPEC_LEN,
+    )
+    return build_model("inception", cfg)
+
+
+def transfer_weights_inception(keras_model, variables):
+    """Copies the Keras Inception's weights into our pytree.
+
+    Keras's model.layers is a topological order that interleaves the
+    branches (and orders same-shape branch convs ambiguously), so the
+    mapping is GRAPH-DRIVEN: each inception block is located via its
+    Concatenate layer, whose inputs are [branch1, branch2, branch3] in
+    construction order (reference inception.py:328); each branch's convs
+    are collected by walking producers upward (branch conv counts are
+    fixed: 1, 2, 3), the f2 conv is the Conv2D consuming the concat, and
+    the cnn1 chain is everything above the first block.  Each conv's
+    SubSpectralNormalization is the SSN consuming that conv's output.
+    Any mis-pairing would fail the forward-parity check below.
+    """
+    import flax
+
+    params = flax.core.unfreeze(variables["params"])
+    stats = flax.core.unfreeze(variables["batch_stats"])
+
+    def op_of(t):
+        return t._keras_history.operation
+
+    def up(op):
+        return op_of(op.input)
+
+    def collect_up(op, n):
+        """Walks producers upward from ``op``, returning the first n conv
+        wrappers found (deepest last -> reversed to call order)."""
+        found = []
+        while len(found) < n:
+            nm = op.__class__.__name__
+            if nm == "Conv2D" or (
+                nm == "Stream" and op.cell.__class__.__name__ == "Conv2D"
+            ):
+                found.append(op)
+            op = up(op)
+        return list(reversed(found))
+
+    ssn_by_producer = {}
+    dense = None
+    concats = []
+    all_convs = []
+    for layer in keras_model.layers:
+        name = layer.__class__.__name__
+        if name == "SubSpectralNormalization":
+            ssn_by_producer[id(op_of(layer.input))] = layer
+        elif name == "Dense":
+            dense = layer
+        elif name == "Concatenate":
+            concats.append(layer)
+        elif name == "Conv2D":
+            all_convs.append(layer)
+
+    ordered = []  # wrapper layers in OUR ConvBnRelu call order
+    for bi, concat in enumerate(concats):
+        ins = concat.input  # [branch1, branch2, branch3] tensors
+        b1 = collect_up(op_of(ins[0]), 1)
+        b2 = collect_up(op_of(ins[1]), 2)
+        b3 = collect_up(op_of(ins[2]), 3)
+        if bi == 0:  # cnn1 chain sits above branch1's stem
+            n_cnn1 = len(json.loads(
+                "[" + str(INCEPTION_FLAGS["cnn1_filters"]) + "]"))
+            ordered.extend(collect_up(up(b1[0]), n_cnn1))
+        ordered.extend(b1 + b2 + b3)
+        f2 = [c for c in all_convs if op_of(c.input) is concat]
+        assert len(f2) == 1, f"block {bi}: expected one f2 conv, {len(f2)}"
+        ordered.extend(f2)
+
+    n = len([k for k in params if k.startswith("ConvBnRelu_")])
+    assert len(ordered) == len(ssn_by_producer) == n, (
+        len(ordered), len(ssn_by_producer), n
+    )
+    for i in range(n):
+        wrapper = ordered[i]
+        cell = (wrapper.cell
+                if wrapper.__class__.__name__ == "Stream" else wrapper)
+        blk = params[f"ConvBnRelu_{i}"]
+        kernel = np.asarray(cell.kernel)  # [k, 1, in, out]
+        if "PointwiseConv_0" in blk:
+            blk["PointwiseConv_0"]["kernel"] = kernel[0, 0]
+        else:
+            blk["StreamConv_0"]["kernel"] = kernel[:, 0]
+        bn = ssn_by_producer[id(wrapper)].batch_norm
+        inner = blk["SubSpectralNorm_0"]["BatchNorm_0"]
+        inner["scale"] = np.asarray(bn.gamma)
+        inner["bias"] = np.asarray(bn.beta)
+        s_inner = stats[f"ConvBnRelu_{i}"]["SubSpectralNorm_0"]["BatchNorm_0"]
+        s_inner["mean"] = np.asarray(bn.moving_mean)
+        s_inner["var"] = np.asarray(bn.moving_variance)
+
+    params["Dense_0"]["kernel"] = np.asarray(dense.kernel)
+    params["Dense_0"]["bias"] = np.asarray(dense.bias)
+    return {"params": params, "batch_stats": stats}
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", type=str, default="mixednet",
+                    choices=("mixednet", "inception"))
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--out", type=str, default=None)
@@ -163,13 +316,24 @@ def main():
     from microwakeword_tpu.train.loop import weighted_bce
 
     rng = np.random.default_rng(20260820)
-    ref_model = build_reference(args.batch)
-    bundle = build_ours()
-    variables = transfer_weights(ref_model, bundle.init(jax.random.PRNGKey(0)))
+    if args.model == "inception":
+        spec_len = INCEPTION_SPEC_LEN
+        ref_model = build_reference_inception(args.batch)
+        bundle = build_ours_inception()
+        variables = transfer_weights_inception(
+            ref_model, bundle.init(jax.random.PRNGKey(0))
+        )
+    else:
+        spec_len = SPEC_LEN
+        ref_model = build_reference(args.batch)
+        bundle = build_ours()
+        variables = transfer_weights(
+            ref_model, bundle.init(jax.random.PRNGKey(0))
+        )
 
     # synthetic spectrogram batches: tone-ish bands for pos, noise for neg
     def make_batch():
-        x = rng.uniform(0, 10, (args.batch, SPEC_LEN, 40)).astype(np.float32)
+        x = rng.uniform(0, 10, (args.batch, spec_len, 40)).astype(np.float32)
         y = (rng.random(args.batch) > 0.5).astype(np.float32)
         x[y > 0.5, :, 18:26] += rng.uniform(5, 15)
         return x, y
@@ -231,6 +395,7 @@ def main():
     report = {
         "what": "same initial weights + identical batch sequence through "
                 "both trainers (reference Keras vs this framework)",
+        "model": args.model,
         "steps": args.steps,
         "batch": args.batch,
         "forward_prob_max_diff": fwd_max_diff,
@@ -241,7 +406,8 @@ def main():
     }
     out = args.out or os.path.join(
         os.path.dirname(__file__), "..", "tests", "golden",
-        "trainer_ab_report.json",
+        "trainer_ab_report.json" if args.model == "mixednet"
+        else "trainer_ab_inception_report.json",
     )
     with open(out, "w") as f:
         json.dump(report, f, indent=2)
