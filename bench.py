@@ -637,12 +637,15 @@ def main():
             # executes and scales, not absolute multi-chip speedup.
             dp1 = measure_dp_virtual(1, 20, args.batch)
             dp8 = measure_dp_virtual(8, 20, args.batch)
+            scaling = dp8["audio_seconds_per_sec"] / dp1["audio_seconds_per_sec"]
             return {
                 "virtual_cpu_1dev_audio_s_per_s": round(dp1["audio_seconds_per_sec"], 1),
                 "virtual_cpu_8dev_audio_s_per_s": round(dp8["audio_seconds_per_sec"], 1),
-                "scaling_8_vs_1": round(
-                    dp8["audio_seconds_per_sec"] / dp1["audio_seconds_per_sec"], 2
-                ),
+                "scaling_8_vs_1": round(scaling, 2),
+                # per-device parallel efficiency (1.0 = linear); the 8
+                # virtual devices share one host's cores, so this floor
+                # bounds scheduling+collective overhead, not real ICI DP
+                "per_device_efficiency_8": round(scaling / 8.0, 3),
                 "note": "virtual devices share host cores; sublinear expected",
             }
 

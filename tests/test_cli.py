@@ -295,3 +295,32 @@ def test_convert_mmap_ninja(tmp_path, monkeypatch):
         assert len(store) == len(arrays)
         for got, want in zip(store, arrays):
             np.testing.assert_array_equal(got, want)
+
+
+def test_bench_roofline_math():
+    """bench.py roofline accounting: per-step normalization, MFU and
+    floor/bound fields (pure math; no device needed)."""
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", _os.path.join(_os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    peaks = {"peak_flops_per_sec": 100e12, "hbm_bytes_per_sec": 1e12,
+             "flops_basis": "bf16"}
+    cost = {"flops": 50e9, "bytes_accessed": 1e9}
+    # 10 units per call, 1 ms per unit
+    r = bench._roofline(cost, 10, 1e-3, peaks)
+    assert r["flops_per_step"] == 5e9
+    assert r["hbm_bytes_per_step"] == 1e8
+    np.testing.assert_allclose(r["achieved_flops_per_sec"], 5e12)
+    np.testing.assert_allclose(r["mfu"], 0.05)
+    np.testing.assert_allclose(r["hbm_utilization"], 0.1)
+    # intensity 50 < ridge 100 -> memory bound
+    assert r["roofline_bound"] == "memory"
+    np.testing.assert_allclose(r["compute_floor_sec"], 5e9 / 100e12)
+    # no cost -> no roofline
+    assert bench._roofline(None, 1, 1e-3, peaks) is None

@@ -38,3 +38,29 @@ def test_trainer_step_equivalence(tmp_path):
     assert d[0] < 1e-5
     assert d.max() < 0.02
     assert rep["post_training_prob_max_diff"] < 0.05
+
+
+def test_trainer_step_equivalence_inception(tmp_path):
+    """Inception family (VERDICT r3 item 6): same transplant-and-train A/B
+    as MixedNet, via the graph-driven Keras->flax weight mapping."""
+    script = os.path.join(
+        os.path.dirname(__file__), "..", "scripts", "trainer_ab.py"
+    )
+    out = tmp_path / "ab_inception.json"
+    r = subprocess.run(
+        [sys.executable, script, "--model", "inception", "--steps", "12",
+         "--batch", "16", "--out", str(out)],
+        capture_output=True, text=True, timeout=500,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import json
+
+    rep = json.loads(out.read_text())
+    assert rep["model"] == "inception"
+    assert rep["forward_prob_max_diff"] < 1e-5
+    d = np.abs(
+        np.asarray(rep["reference_losses"]) - np.asarray(rep["our_losses"])
+    )
+    assert d[0] < 1e-5
+    assert d.max() < 0.02
+    assert rep["post_training_prob_max_diff"] < 0.05
