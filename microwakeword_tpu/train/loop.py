@@ -18,6 +18,7 @@ import time
 
 import flax.serialization
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -118,9 +119,23 @@ def make_train_step(
             )
         batch_sharding = NamedSharding(mesh, P("data"))
         replicated = NamedSharding(mesh, P())
-    optimizer = optax.inject_hyperparams(optax.adam)(
+    base_opt = optax.inject_hyperparams(optax.adam)(
         learning_rate=0.001, eps=1e-7  # keras Adam epsilon
     )
+
+    # The optimizer runs on the RAVELED parameter vector: Adam is
+    # elementwise, so per-leaf and concatenated updates are bit-identical,
+    # but per-leaf optax emits ~3 kernels per leaf (~75 for the flagship's
+    # ~25 leaves) while the flat form is 3 vector ops -- a measurable slice
+    # of the small-kernel tail the fused-step trace identified
+    # (documentation/architecture.md).  Callers see pytrees everywhere;
+    # opt_state is flat internally (init() ravels).
+    class _FlatOptimizer:
+        def init(self, params):
+            flat, _ = jax.flatten_util.ravel_pytree(params)
+            return base_opt.init(flat)
+
+    optimizer = _FlatOptimizer()
 
     def loss_fn(params, batch_stats, feats, labels, weights, rng):
         probs, updates = bundle.module.apply(
@@ -151,8 +166,9 @@ def make_train_step(
     else:
         sample = S.sample_batch
 
-    def train_step(
-        params,
+    def _step_flat(
+        flat,
+        unravel,
         batch_stats,
         opt_state,
         rng,
@@ -166,6 +182,9 @@ def make_train_step(
         positive_class_weight,
         negative_class_weight,
     ):
+        """One optimizer step on the raveled parameter vector; returns the
+        step's (probs, labels, loss) so metrics can be computed once per
+        call instead of once per chained sub-step."""
         r_batch, r_drop = jax.random.split(rng)
         feats, labels, penalties = sample(
             corpus,
@@ -183,33 +202,57 @@ def make_train_step(
             penalties = jax.lax.with_sharding_constraint(penalties, batch_sharding)
         class_w = jnp.where(labels > 0.5, positive_class_weight, negative_class_weight)
         weights = penalties * class_w
+
+        def loss_flat(f, bs, feats, labels, weights, rng):
+            return loss_fn(unravel(f), bs, feats, labels, weights, rng)
+
         (loss, (probs, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(params, batch_stats, feats, labels, weights, r_drop)
+            loss_flat, has_aux=True
+        )(flat, batch_stats, feats, labels, weights, r_drop)
         opt_state.hyperparams["learning_rate"] = jnp.asarray(learning_rate)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        updates, opt_state = base_opt.update(grads, opt_state, flat)
+        flat = optax.apply_updates(flat, updates)
+        return flat, new_stats, opt_state, (probs, labels, loss)
+
+    def train_step(params, batch_stats, opt_state, rng, corpus, **phase):
+        flat, unravel = jax.flatten_util.ravel_pytree(params)
+        flat, batch_stats, opt_state, (probs, labels, loss) = _step_flat(
+            flat, unravel, batch_stats, opt_state, rng, corpus, **phase
+        )
         step_metrics = M.binary_metrics(probs, labels)
         step_metrics["loss"] = loss
-        return params, new_stats, opt_state, step_metrics
+        return unravel(flat), batch_stats, opt_state, step_metrics
 
     if steps_per_call > 1:
 
         def chained(params, batch_stats, opt_state, rng, corpus, **phase):
+            flat, unravel = jax.flatten_util.ravel_pytree(params)
 
             def body(carry, step_rng):
-                params, batch_stats, opt_state = carry
-                params, batch_stats, opt_state, m = train_step(
-                    params, batch_stats, opt_state, step_rng, corpus, **phase
+                flat, batch_stats, opt_state, _ = carry
+                flat, batch_stats, opt_state, pl = _step_flat(
+                    flat, unravel, batch_stats, opt_state, step_rng, corpus,
+                    **phase,
                 )
-                return (params, batch_stats, opt_state), m
+                return (flat, batch_stats, opt_state, pl), None
 
             rngs = jax.random.split(rng, steps_per_call)
-            (params, batch_stats, opt_state), ms = jax.lax.scan(
-                body, (params, batch_stats, opt_state), rngs
+            pl0 = (
+                jnp.zeros((batch_size, 1), jnp.float32),  # probs [B, 1]
+                jnp.zeros((batch_size,), jnp.float32),
+                jnp.float32(0),
             )
-            last = jax.tree.map(lambda x: x[-1], ms)
-            return params, batch_stats, opt_state, last
+            (flat, batch_stats, opt_state, (probs, labels, loss)), _ = (
+                jax.lax.scan(
+                    body, (flat, batch_stats, opt_state, pl0), rngs
+                )
+            )
+            # metrics once per call, from the LAST sub-step (same record the
+            # per-step variant kept; saves the per-step argsort/reductions
+            # inside the scan)
+            last = M.binary_metrics(probs, labels)
+            last["loss"] = loss
+            return unravel(flat), batch_stats, opt_state, last
 
         fn = chained
     else:
