@@ -53,6 +53,29 @@ def _dft_mel_constants():
     return wc, ws, mel, smoothing
 
 
+@functools.lru_cache(maxsize=16)
+def _ema_matrices(t: int):
+    """Constant EMA kernels for the noise-estimate recurrence at length T.
+
+    Returns (low [2, T, T] f32, decay [T, 40] f32) as NumPy:
+    low[p, t, i] = s_p * (1-s_p)^(t-i) for i <= t (else 0) with p = channel
+    parity (even/odd smoothing, reference.py); decay[t, c] = (1-s_c)^(t+1)
+    carries the initial estimate.  NumPy so jit traces embed constants
+    (same note as _dft_mel_constants)."""
+    sm = np.array([ref.EVEN_SMOOTHING, ref.ODD_SMOOTHING], np.float64)
+    i = np.arange(t)
+    diff = i[:, None] - i[None, :]  # [T, T] = t - i
+    low = np.where(
+        diff >= 0,
+        sm[:, None, None] * (1.0 - sm[:, None, None]) ** np.maximum(diff, 0),
+        0.0,
+    )
+    decay = (1.0 - ref._SMOOTHING.astype(np.float64))[None, :] ** (
+        i[:, None] + 1
+    )
+    return low.astype(np.float32), decay.astype(np.float32)
+
+
 def frame_audio(audio: jnp.ndarray, step_ms: int = 10) -> jnp.ndarray:
     """[..., N] samples -> [..., T, 480] frames, hop = 16*step_ms samples.
 
@@ -106,18 +129,36 @@ def frontend_streaming(
     Returns (features float32 in [0, 26] shaped like sf, final estimate).
 
     The noise-estimate EMA est_t = (1-s)*est_{t-1} + s*x_t is a first-order
-    linear recurrence, so it is evaluated with an associative scan
-    (O(log T) depth) instead of a sequential T-step scan; everything after
-    the EMA is elementwise over sf.  ~1 XLA op per log2(T) rather than ~20
-    tiny ops per hop -- the sequential form was the frontend's bottleneck
-    on TPU.  Callers with batch-major [B, T, 40] data pass axis=-2 so no
-    transposes are materialized around the scan.
+    linear recurrence with CONSTANT per-channel decay (two values:
+    even/odd smoothing), so on the time-minor layout it is evaluated as
+    two lower-triangular [T, T] matmuls on the MXU:
+    est_t = sum_i s*(1-s)^(t-i) x_i + (1-s)^(t+1) est_0.  The previous
+    associative-scan form (kept as the fallback for exotic axes) compiled
+    to ~log2(T) levels of slice/pad/multiply VPU ops -- at T=204, ~76
+    us/step of pure padding in the fused-step trace
+    (documentation/architecture.md); one triangular matmul replaces the
+    whole tree.  precision=HIGHEST keeps the matmul f32-exact (TPU default
+    would round the accumulation through bf16 operands).
     """
     _, _, _, smoothing = _dft_mel_constants()
-    if sf.shape[axis] == 0:
+    t = sf.shape[axis]
+    if t == 0:
         return sf * FEATURE_SCALE, noise_estimate
 
-    # EMA as associative scan over pairs (a, b): est_t = a*est_prev + b.
+    if axis == -2 or axis == sf.ndim - 2 or (axis in (0, -2) and sf.ndim == 2):
+        low, decay = _ema_matrices(t)
+        bsf = sf.reshape(sf.shape[:-1] + (NUM_CHANNELS // 2, 2))
+        est = jnp.einsum(
+            "pti,...ikp->...tkp", low, bsf,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(sf.shape)
+        est = est + decay * noise_estimate[..., None, :]
+        final = est[..., -1, :]
+        feats = _agc_output(sf, est)
+        return feats * FEATURE_SCALE, final
+
+    # fallback: EMA as associative scan over pairs (a, b):
+    # est_t = a*est_prev + b.
     a = jnp.broadcast_to(1.0 - smoothing, sf.shape).astype(sf.dtype)
     b = smoothing * sf
 

@@ -68,3 +68,29 @@ def test_frame_audio_matches_reference(golden):
         got = np.asarray(fx.frame_audio(audio.astype(np.float32), step_ms))
         assert got.shape == want.shape
         np.testing.assert_array_equal(got, want.astype(np.float32))
+
+
+def test_ema_matmul_matches_associative_scan():
+    """The triangular-matmul EMA (time-minor fast path) must match the
+    associative-scan fallback (exercised via a time-major 3D layout) to
+    float tolerance, including the initial-estimate carry."""
+    import jax.numpy as jnp
+
+    from microwakeword_tpu.frontend import xla as F
+
+    rng = np.random.default_rng(0)
+    sf = rng.uniform(0, 5000, (3, 57, 40)).astype(np.float32)
+    est0 = rng.uniform(0, 3000, (3, 40)).astype(np.float32)
+
+    fast, fin_fast = F.frontend_streaming(jnp.asarray(sf), jnp.asarray(est0),
+                                          axis=-2)
+    # time-major [T, B, 40] with axis=0 hits the associative-scan fallback
+    slow, fin_slow = F.frontend_streaming(
+        jnp.asarray(sf.transpose(1, 0, 2)), jnp.asarray(est0), axis=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast), np.asarray(slow).transpose(1, 0, 2), atol=1e-2,
+        rtol=0,
+    )
+    np.testing.assert_allclose(np.asarray(fin_fast), np.asarray(fin_slow),
+                               rtol=1e-5)
