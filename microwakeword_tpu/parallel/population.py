@@ -33,6 +33,7 @@ dropout keys still apply.
 from __future__ import annotations
 
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -94,9 +95,21 @@ def make_population_train_step(
     on the real chip: 0.46 ms/step chained single-model vs 9.5 ms/step
     unchained population).  Metrics are the last sub-step's.
     """
-    optimizer = optax.inject_hyperparams(optax.adam)(
+    base_opt = optax.inject_hyperparams(optax.adam)(
         learning_rate=0.001, eps=1e-7
     )
+
+    # Per-member Adam runs on the raveled gradient vector (identical math,
+    # elementwise; see train/loop.py) -- under vmap this turns ~3 kernels
+    # per parameter leaf into 3 batched vector ops per population step.
+    # Callers vmap optimizer.init over stacked params; init ravels, so the
+    # member opt state is a flat-vector Adam state.
+    class _FlatOptimizer:
+        def init(self, params):
+            flat, _ = jax.flatten_util.ravel_pytree(params)
+            return base_opt.init(flat)
+
+    optimizer = _FlatOptimizer()
 
     def loss_fn(params, batch_stats, feats, labels, weights, rng):
         probs, updates = bundle.module.apply(
@@ -120,12 +133,14 @@ def make_population_train_step(
         (loss, (probs, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params, batch_stats, feats, labels, weights, r_drop)
+        flat_g, unravel = jax.flatten_util.ravel_pytree(grads)
+        flat_p, _ = jax.flatten_util.ravel_pytree(params)
         opt_state.hyperparams["learning_rate"] = learning_rate
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        step_metrics = M.binary_metrics(probs, labels)
-        step_metrics["loss"] = loss
-        return params, new_stats, opt_state, step_metrics
+        updates, opt_state = base_opt.update(flat_g, opt_state, flat_p)
+        params = optax.apply_updates(params, unravel(updates))
+        # metrics are computed by the caller (once per call in the chained
+        # program rather than per scan sub-step)
+        return params, new_stats, opt_state, (probs, labels, loss)
 
     def member_step(
         params,
@@ -165,9 +180,15 @@ def make_population_train_step(
         "freq_mask_count",
     )
 
-    def vstep(params, batch_stats, opt_state, rngs, lrs, pos_w, neg_w, *,
-              time_mask_max_size, time_mask_count, freq_mask_max_size,
-              freq_mask_count):
+    def _member_metrics(pl):
+        probs, labels, loss = pl
+        metrics = jax.vmap(M.binary_metrics)(probs, labels)
+        metrics["loss"] = loss
+        return metrics
+
+    def vstep_raw(params, batch_stats, opt_state, rngs, lrs, pos_w, neg_w, *,
+                  time_mask_max_size, time_mask_count, freq_mask_max_size,
+                  freq_mask_count):
         # spec-augment sizes are static (python ints) -> close over them so
         # pjit in_shardings only sees the 7 vmapped array args.
         if share_batch:
@@ -203,30 +224,43 @@ def make_population_train_step(
 
         return jax.vmap(member)(params, batch_stats, opt_state, rngs, lrs, pos_w, neg_w)
 
+    def vstep(params, batch_stats, opt_state, rngs, lrs, pos_w, neg_w, **sa):
+        params, batch_stats, opt_state, pl = vstep_raw(
+            params, batch_stats, opt_state, rngs, lrs, pos_w, neg_w, **sa
+        )
+        return params, batch_stats, opt_state, _member_metrics(pl)
+
     def chained(params, batch_stats, opt_state, member_keys, lrs, pos_w, neg_w,
                 start_step, *, time_mask_max_size, time_mask_count,
                 freq_mask_max_size, freq_mask_count):
 
         def body(carry, step_idx):
-            params, batch_stats, opt_state = carry
+            params, batch_stats, opt_state, _ = carry
             step_keys = jax.vmap(
                 lambda k: jax.random.fold_in(k, step_idx)
             )(member_keys)
-            params, batch_stats, opt_state, m = vstep(
+            params, batch_stats, opt_state, pl = vstep_raw(
                 params, batch_stats, opt_state, step_keys, lrs, pos_w, neg_w,
                 time_mask_max_size=time_mask_max_size,
                 time_mask_count=time_mask_count,
                 freq_mask_max_size=freq_mask_max_size,
                 freq_mask_count=freq_mask_count,
             )
-            return (params, batch_stats, opt_state), m
+            return (params, batch_stats, opt_state, pl), None
 
-        steps = start_step + 1 + jnp.arange(steps_per_call, dtype=jnp.int32)
-        (params, batch_stats, opt_state), ms = jax.lax.scan(
-            body, (params, batch_stats, opt_state), steps
+        n = member_keys.shape[0]
+        pl0 = (
+            jnp.zeros((n, batch_size, 1), jnp.float32),
+            jnp.zeros((n, batch_size), jnp.float32),
+            jnp.zeros((n,), jnp.float32),
         )
-        last = jax.tree.map(lambda x: x[-1], ms)
-        return params, batch_stats, opt_state, last
+        steps = start_step + 1 + jnp.arange(steps_per_call, dtype=jnp.int32)
+        (params, batch_stats, opt_state, pl), _ = jax.lax.scan(
+            body, (params, batch_stats, opt_state, pl0), steps
+        )
+        # metrics once per call, from the last sub-step (the same record
+        # the per-sub-step variant kept)
+        return params, batch_stats, opt_state, _member_metrics(pl)
 
     fn, n_array_args = (chained, 8) if steps_per_call > 1 else (vstep, 7)
 
