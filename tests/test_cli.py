@@ -324,3 +324,78 @@ def test_bench_roofline_math():
     np.testing.assert_allclose(r["compute_floor_sec"], 5e9 / 100e12)
     # no cost -> no roofline
     assert bench._roofline(None, 1, 1e-3, peaks) is None
+
+
+def test_sweep_cli_share_batch(tmp_path):
+    """python -m microwakeword_tpu.sweep --share_batch 1: trains a small
+    population on the shared batch stream end-to-end, writes per-member
+    weights + leaderboard."""
+    rng = np.random.default_rng(5)
+
+    def make(n, positive, lo, hi):
+        out = []
+        for _ in range(n):
+            t = rng.integers(lo, hi)
+            spec = rng.uniform(0, 80, size=(t, 40))
+            if positive:
+                spec[:, 20:] += 300
+            else:
+                spec[:, :20] += 300
+            out.append(spec.astype(np.uint16))
+        return out
+
+    for name, positive, modes in [
+        ("pos", True, {"training": 16, "validation": 8}),
+        ("neg", False, {"training": 16, "validation": 8}),
+    ]:
+        for mode, n in modes.items():
+            d = tmp_path / name / mode
+            d.mkdir(parents=True)
+            RaggedSpectrogramStore.create(
+                str(d / "w_mmap"), make(n, positive, 40, 60)
+            )
+
+    config = {
+        "train_dir": str(tmp_path / "sweep_run"),
+        "clip_duration_ms": 390,
+        "window_step_ms": 10,
+        "batch_size": 8,
+        "training_steps": [30],
+        "learning_rates": [0.01],
+        "eval_step_interval": 15,
+        "maximization_metric": "average_viable_recall",
+        "target_minimization": 0.9,
+        "minimization_metric": None,
+        "features": [
+            {"features_dir": str(tmp_path / "pos"), "truth": True,
+             "sampling_weight": 1.0, "penalty_weight": 1.0,
+             "truncation_strategy": "truncate_start", "type": "mmap"},
+            {"features_dir": str(tmp_path / "neg"), "truth": False,
+             "sampling_weight": 1.0, "penalty_weight": 1.0,
+             "truncation_strategy": "random", "type": "mmap"},
+        ],
+    }
+    cfg_path = tmp_path / "sweep.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(config, f)
+
+    from microwakeword_tpu.sweep import main as sweep_main
+
+    sweep_main([
+        "--training_config", str(cfg_path),
+        "--n_models", "2",
+        "--share_batch", "1",
+        "--mesh", "off",
+        "mixednet",
+        "--pointwise_filters", "8,8",
+        "--repeat_in_block", "1,1",
+        "--mixconv_kernel_sizes", "[3], [5]",
+        "--residual_connection", "0,0",
+        "--first_conv_filters", "8",
+        "--first_conv_kernel_size", "3",
+        "--stride", "1",
+    ])
+    run = tmp_path / "sweep_run"
+    assert (run / "member_00" / "best_weights.msgpack").exists()
+    assert (run / "member_01" / "best_weights.msgpack").exists()
+    assert (run / "leaderboard.json").exists()
