@@ -10,8 +10,16 @@ Prints ONE JSON line:
   MixedNet (notebook recipe: batch 128, 194-frame windows = 1.94 s audio).
 - train: the precomputed-spectrogram step (reference's normal mode).
 - frontend: standalone batched PCM->features, XLA and Pallas backends.
+- sweep8/sweep32: population training aggregate member-steps/s, shared
+  and private batch modes, with explicit sweep-vs-serial ratios.
 - dp8_virtual_scaling: fused-step throughput ratio 8-device mesh vs 1
   device on a virtual CPU mesh (subprocess; single real chip available).
+
+Every timed phase also reports `roofline` fields (flops/step, HBM
+bytes/step, achieved FLOP/s, MFU vs the chip's bf16 peak, compute/memory
+floors) from XLA cost analysis of a single-step program, and the headline
+is re-measured once more as a reproducibility gate
+(`headline_repeat_ratio`, must be within +-10%).
 
 vs_baseline divides the headline by the reference's measured END-TO-END hot
 loop on this host (tests/golden/reference_baseline.json "end_to_end*":
