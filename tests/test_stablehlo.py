@@ -94,3 +94,38 @@ def test_inference_model_backend(tmp_path):
         ref.predict_spectrogram(spec),
         atol=1e-6,
     )
+
+
+def test_roundtrip_spatial_attention(tmp_path):
+    """spatial_attention=1, pooled=1 exports to .mwwx and the artifact's
+    forward/stream functions match the live bundle (the flax streaming
+    semantics -- newest-frame gating -- carry through serialization)."""
+    cfg = MixedNetConfig(
+        pointwise_filters=(12,),
+        repeat_in_block=(1,),
+        mixconv_kernel_sizes=((5,),),
+        residual_connection=(False,),
+        first_conv_filters=8,
+        first_conv_kernel_size=3,
+        stride=1,
+        pooled=True,
+        spatial_attention=True,
+        spectrogram_length=30,
+    )
+    bundle = build_model("mixednet", cfg)
+    variables = bundle.init(jax.random.PRNGKey(0))
+    path = str(tmp_path / "attn.mwwx")
+    SH.export_streaming(bundle, variables, path)
+    loaded = SH.StableHLOModel(path)
+
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0, 26, (2, cfg.spectrogram_length, 40)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(loaded.forward(x)),
+        np.asarray(bundle.forward(variables, x)),
+        atol=1e-6,
+    )
+    spec = rng.uniform(0, 26, (60, 40)).astype(np.float32)
+    want = np.asarray(bundle.stream_scan(variables, spec[None])).reshape(-1)
+    np.testing.assert_allclose(loaded.predict_spectrogram(spec), want,
+                               atol=1e-6)
