@@ -521,7 +521,7 @@ def main():
     # 2000 chained steps at ~2000 steps/s is ~1 s/call -> <4% worst case
     # (measured: 512k audio-s/s at chunk 500 -> 567k at 2000, b128).
     chunk = 100 if (args.quick or backend != "tpu") else 2000
-    sweep_chunk = 25 if args.quick else 500
+    sweep_chunk = 25 if args.quick else 1000
 
     def log(msg):
         print(msg, file=sys.stderr, flush=True)

@@ -16,10 +16,14 @@ convs dominate -- so the aggregate speedup over training members serially
 comes from (a) sharing the per-step batch gather across members
 (``share_batch=True``, the sweep throughput mode) and (b) amortizing
 fixed per-kernel overheads, not from MXU tiling alone.  Measured ceiling
-with everything dispatch-amortized (500-step chunks): ~2x aggregate
-member-steps/s at 8 members, ~2.8x at 32, bounded by the per-member
-marginal cost of the depthwise convs on the VPU (~100-130 us/member-step
-fwd+bwd, at 30-50% of VPU peak -- a hardware floor, not overhead).
+with everything dispatch-amortized (1000-2000-step chunks, post the
+round-4 flat-optimizer work): ~6,900 aggregate member-steps/s at 8
+members and ~9,500 at 32 -- 1.3x / 1.8x a serial single-model baseline
+that itself runs at ~5,200 steps/s, bounded by the per-member marginal
+cost of the depthwise convs on the VPU (~100 us/member-step fwd+bwd, at
+30-50% of VPU peak -- a hardware floor, not overhead).  The ratio
+tightens whenever the single-model path speeds up; the bench's
+sweep*_vs_serial_ratio lines track it.
 
 Batching semantics: with ``share_batch=False`` (default) each member
 samples its own batches (per-member PRNG streams) and every member's

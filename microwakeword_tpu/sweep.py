@@ -49,7 +49,7 @@ def main(argv=None):
                         help="1: all members train on member 0's batch "
                              "stream (one corpus gather per step serves the "
                              "whole population -- the measured-fastest sweep "
-                             "mode, ~2-3x aggregate member-steps/s vs "
+                             "mode, ~1.3-1.8x aggregate member-steps/s vs "
                              "serial on a v5e, rising with n_models); "
                              "0 (default): every member "
                              "samples its own batches (each member "
