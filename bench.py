@@ -483,7 +483,7 @@ def dp_worker(n_devices: int, steps: int, batch: int):
         from microwakeword_tpu.parallel import replicate
 
         packed = replicate(packed, mesh)
-    samples = _run_train_loop(
+    samples, _ = _run_train_loop(
         bundle, variables, packed, cfg, steps, batch, chunk=max(1, steps // 2),
         mesh=mesh,
     )
