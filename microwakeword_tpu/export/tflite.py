@@ -139,7 +139,7 @@ def build_tf_streaming_mixednet(cfg: MixedNetConfig, params, batch_stats,
                         if kmax > 1:
                             ring_specs.append((kmax - 1, entry["mixconv"].shape[2]))
                     ch = entry["pointwise"][0].shape[-1]
-        if att_kernel is not None:
+        if att_kernel is not None and att_kernel.shape[0] > 1:
             # attention replaces the tail window: ring of (mean, max)
             # pooled frames; only the newest (gated) frame feeds Dense
             # (models/mixednet.py SpatialAttention streaming semantics)
@@ -220,7 +220,9 @@ def build_tf_streaming_mixednet(cfg: MixedNetConfig, params, batch_stats,
                 [tf.reduce_mean(net, axis=-1), tf.reduce_max(net, axis=-1)],
                 axis=-1,
             )  # [1, T, 1, 2]
-            if streaming:
+            if streaming and att_kernel.shape[0] > 1:
+                # k == 1 needs no ring (and its spec is skipped above --
+                # mem[:, -(k-1):] would degenerate to the full tensor)
                 v = next(ring_iter)
                 mem = tf.concat([v, pooled], axis=1)  # [1, k, 1, 2]
                 assign = v.assign(mem[:, -(att_kernel.shape[0] - 1):])

@@ -76,6 +76,27 @@ def _ema_matrices(t: int):
     return low.astype(np.float32), decay.astype(np.float32)
 
 
+# Max frame count handled by a single [T, T] EMA matmul.  Above this the
+# recurrence is evaluated in chunks with a carried estimate: the matmul
+# kernel's memory is O(T^2) (a minutes-long ambient WAV in generate_pool /
+# build_dataset gives T in the tens of thousands -> tens of GB), while the
+# chunked form stays O(T * chunk) with identical numerics (the carry is the
+# exact estimate at the chunk boundary).
+_EMA_CHUNK = 1024
+
+
+def _ema_block(sf: jnp.ndarray, noise_estimate: jnp.ndarray, low, decay):
+    """Noise-estimate EMA over one [..., T, 40] block via the triangular
+    matmul; ``low``/``decay`` from _ema_matrices(T).  Returns est [..., T, 40].
+    """
+    bsf = sf.reshape(sf.shape[:-1] + (NUM_CHANNELS // 2, 2))
+    est = jnp.einsum(
+        "pti,...ikp->...tkp", low, bsf,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(sf.shape)
+    return est + decay * noise_estimate[..., None, :]
+
+
 def frame_audio(audio: jnp.ndarray, step_ms: int = 10) -> jnp.ndarray:
     """[..., N] samples -> [..., T, 480] frames, hop = 16*step_ms samples.
 
@@ -146,13 +167,29 @@ def frontend_streaming(
         return sf * FEATURE_SCALE, noise_estimate
 
     if axis == -2 or axis == sf.ndim - 2 or (axis in (0, -2) and sf.ndim == 2):
-        low, decay = _ema_matrices(t)
-        bsf = sf.reshape(sf.shape[:-1] + (NUM_CHANNELS // 2, 2))
-        est = jnp.einsum(
-            "pti,...ikp->...tkp", low, bsf,
-            precision=jax.lax.Precision.HIGHEST,
-        ).reshape(sf.shape)
-        est = est + decay * noise_estimate[..., None, :]
+        if t <= _EMA_CHUNK:
+            low, decay = _ema_matrices(t)
+            est = _ema_block(sf, noise_estimate, low, decay)
+        else:
+            # Long clips: chunked matmul EMA with carried estimate (memory
+            # O(T * chunk); the single-matmul form is O(T^2)).
+            chunk = _EMA_CHUNK
+            nc = -(-t // chunk)
+            pad = nc * chunk - t
+            sfp = jnp.pad(
+                sf, [(0, 0)] * (sf.ndim - 2) + [(0, pad), (0, 0)]
+            )
+            sfc = jnp.moveaxis(
+                sfp.reshape(sf.shape[:-2] + (nc, chunk, sf.shape[-1])), -3, 0
+            )  # [nc, ..., chunk, 40]
+            low, decay = _ema_matrices(chunk)
+
+            def body(carry_est, s):
+                e = _ema_block(s, carry_est, low, decay)
+                return e[..., -1, :], e
+
+            _, ests = jax.lax.scan(body, noise_estimate, sfc)
+            est = jnp.moveaxis(ests, 0, -3).reshape(sfp.shape)[..., :t, :]
         final = est[..., -1, :]
         feats = _agc_output(sf, est)
         return feats * FEATURE_SCALE, final

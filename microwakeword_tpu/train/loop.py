@@ -369,6 +369,57 @@ def _load(path: str, template):
         return flax.serialization.from_bytes(template, f.read())
 
 
+def _migrate_opt_state(raw: dict) -> bool:
+    """Migrates a pre-flat-optimizer checkpoint's opt_state in place.
+
+    Checkpoints written before the flat-Adam change stored per-leaf mu/nu
+    pytrees; the current opt_state holds single raveled vectors.  Adam is
+    elementwise, so concatenating the saved leaves in tree-flatten order
+    (the same order jax.flatten_util.ravel_pytree uses) is an exact
+    migration.  Returns True if an old layout was found and migrated.
+    This must be an explicit structural check -- flax's from_state_dict
+    silently passes mismatched non-dict leaves through, so the old layout
+    would otherwise MIS-restore rather than fail.
+    """
+
+    def ravel_leaves(node):
+        leaves = jax.tree_util.tree_leaves(node)
+        return np.concatenate([np.asarray(l).ravel() for l in leaves])
+
+    def walk(node):
+        changed = False
+        if not isinstance(node, dict):
+            return False
+        if isinstance(node.get("mu"), dict) and isinstance(node.get("nu"), dict):
+            node["mu"] = ravel_leaves(node["mu"])
+            node["nu"] = ravel_leaves(node["nu"])
+            changed = True
+        for v in node.values():
+            changed = walk(v) or changed
+        return changed
+
+    return walk(raw)
+
+
+def _load_checkpoint(path: str, template):
+    """Loads restore/ckpt.msgpack, migrating pre-flat-optimizer layouts."""
+    with open(path, "rb") as f:
+        raw = flax.serialization.msgpack_restore(f.read())
+    if _migrate_opt_state(raw):
+        print(
+            "restored checkpoint predates the flat-optimizer format; "
+            "migrated per-leaf Adam state to the raveled layout",
+            flush=True,
+        )
+    try:
+        return flax.serialization.from_state_dict(template, raw)
+    except Exception as e:
+        raise ValueError(
+            f"checkpoint {path} does not match the expected layout and "
+            f"could not be migrated: {e}"
+        ) from e
+
+
 def train(
     bundle,
     config: dict,
@@ -456,7 +507,7 @@ def train(
     restored_from_step = 0
     ckpt_path = os.path.join(train_dir, "restore", "ckpt.msgpack")
     if restore_checkpoint and os.path.exists(ckpt_path):
-        restored = _load(
+        restored = _load_checkpoint(
             ckpt_path,
             {
                 "params": params,

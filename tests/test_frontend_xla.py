@@ -94,3 +94,32 @@ def test_ema_matmul_matches_associative_scan():
     )
     np.testing.assert_allclose(np.asarray(fin_fast), np.asarray(fin_slow),
                                rtol=1e-5)
+
+
+def test_ema_long_clip_chunked_path():
+    """T > _EMA_CHUNK takes the chunked matmul-EMA path (memory O(T*chunk),
+    not O(T^2) -- long ambient WAVs in generate_pool hit T in the tens of
+    thousands); it must match the associative-scan fallback exactly,
+    including across chunk boundaries and the non-multiple tail."""
+    import jax.numpy as jnp
+
+    from microwakeword_tpu.frontend import xla as F
+
+    rng = np.random.default_rng(1)
+    t = F._EMA_CHUNK * 2 + 137  # >2 chunks, non-multiple tail
+    sf = rng.uniform(0, 5000, (2, t, 40)).astype(np.float32)
+    est0 = rng.uniform(0, 3000, (2, 40)).astype(np.float32)
+
+    fast, fin_fast = F.frontend_streaming(jnp.asarray(sf), jnp.asarray(est0),
+                                          axis=-2)
+    slow, fin_slow = F.frontend_streaming(
+        jnp.asarray(sf.transpose(1, 0, 2)), jnp.asarray(est0), axis=0
+    )
+    assert fast.shape == (2, t, 40)
+    # matmul vs scan accumulation order can flip the round/floor at rare
+    # quantization boundaries (same effect the golden test tolerates)
+    d = np.abs(np.asarray(fast) - np.asarray(slow).transpose(1, 0, 2))
+    assert (d > 0.5).mean() < 1e-4
+    assert np.median(d) == 0.0
+    np.testing.assert_allclose(np.asarray(fin_fast), np.asarray(fin_slow),
+                               rtol=1e-4)

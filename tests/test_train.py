@@ -230,3 +230,51 @@ def test_train_steps_per_call_chaining(tmp_path):
     assert len(history) == 2  # evals at steps 30 and 60 exactly
     assert history[0]["step"] == 30 and history[1]["step"] == 60
     assert history[-1]["train"]["accuracy"] > 0.85
+
+
+def test_load_checkpoint_migrates_preflat_opt_state(tmp_path):
+    """Checkpoints written before the flat-optimizer change stored per-leaf
+    Adam mu/nu pytrees; _load_checkpoint must migrate them to the raveled
+    layout exactly (Adam is elementwise, so concatenation in tree order is
+    bit-identical)."""
+    import flax.serialization
+    import jax.flatten_util
+    import jax.numpy as jnp
+    import optax
+
+    params = {
+        "a": {"kernel": np.arange(6, dtype=np.float32).reshape(2, 3),
+              "bias": np.ones(3, np.float32)},
+        "b": {"w": np.full((4,), 2.0, np.float32)},
+    }
+    grads = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(0.1 + 0.01 * np.arange(x.size, dtype=np.float32)
+                              .reshape(x.shape)), params)
+    opt = optax.inject_hyperparams(optax.adam)(learning_rate=0.001, eps=1e-7)
+
+    # old (pre-flat) layout, advanced one step so mu/nu are nonzero
+    old_state = opt.init(params)
+    _, old_state = opt.update(grads, old_state, params)
+
+    # expected: same update applied in the flat layout
+    flat, _ = jax.flatten_util.ravel_pytree(params)
+    gflat, _ = jax.flatten_util.ravel_pytree(grads)
+    expected = opt.init(flat)
+    _, expected = opt.update(gflat, expected, flat)
+
+    path = tmp_path / "ckpt.msgpack"
+    path.write_bytes(flax.serialization.to_bytes({"opt_state": old_state,
+                                                  "step": 7}))
+    template = {"opt_state": opt.init(flat), "step": 0}
+    restored = T._load_checkpoint(str(path), template)
+    assert restored["step"] == 7
+    for got, want in zip(jax.tree_util.tree_leaves(restored["opt_state"]),
+                         jax.tree_util.tree_leaves(expected)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-7)
+
+    # current-format checkpoints still round-trip through the fast path
+    path.write_bytes(flax.serialization.to_bytes({"opt_state": expected,
+                                                  "step": 9}))
+    again = T._load_checkpoint(str(path), template)
+    assert again["step"] == 9
