@@ -66,29 +66,40 @@ def _flagship_model():
     return cfg, bundle, variables
 
 
-def _synthetic_packed(cfg, n_clips=1500, seed=0):
-    import jax.numpy as jnp
-
+def _synthetic_packed_arrays(cfg, n_clips=1500, seed=0):
+    """Synthetic packed corpus arrays in the production layout (edge-padded
+    + WIDE_K-aligned, so timed steps exercise the wide-row gather path)."""
     from microwakeword_tpu.data import sampler as S
 
     rng = np.random.default_rng(seed)
     lengths = rng.integers(cfg.spectrogram_length, cfg.spectrogram_length + 120, n_clips)
-    frames = rng.uniform(0, 660, (int(lengths.sum()), 40)).astype(np.uint16)
-    offsets = np.concatenate([[0], np.cumsum(lengths)])[:-1]
+    total = int(lengths.sum())
+    pad = S.EDGE_PAD
+    end_pad = pad + (-(pad + total)) % S.WIDE_K
+    frames = np.zeros((pad + total + end_pad, 40), np.uint16)
+    frames[pad : pad + total] = rng.uniform(0, 660, (total, 40)).astype(np.uint16)
+    offsets = np.concatenate([[0], np.cumsum(lengths)])[:-1] + pad
     half = n_clips // 2
-    return S.PackedTrainingData(
-        frames=jnp.asarray(frames),
-        clip_offset=jnp.asarray(offsets.astype(np.int32)),
-        clip_length=jnp.asarray(lengths.astype(np.int32)),
-        provider_logits=jnp.asarray([np.log(2.0), 0.0], jnp.float32),
-        provider_clip_start=jnp.asarray([0, half], jnp.int32),
-        provider_clip_count=jnp.asarray([half, n_clips - half], jnp.int32),
-        provider_label=jnp.asarray([1.0, 0.0], jnp.float32),
-        provider_penalty=jnp.asarray([1.0, 1.0], jnp.float32),
-        provider_strategy=jnp.asarray([1, 0], jnp.int32),
-        provider_cutoffs=jnp.zeros((2, S.MAX_CUTOFFS), jnp.int32),
-        provider_n_cutoffs=jnp.asarray([1, 1], jnp.int32),
+    return dict(
+        frames=frames,
+        edge_pad=pad,
+        clip_offset=offsets.astype(np.int32),
+        clip_length=lengths.astype(np.int32),
+        provider_logits=np.asarray([np.log(2.0), 0.0], np.float32),
+        provider_clip_start=np.asarray([0, half], np.int32),
+        provider_clip_count=np.asarray([half, n_clips - half], np.int32),
+        provider_label=np.asarray([1.0, 0.0], np.float32),
+        provider_penalty=np.asarray([1.0, 1.0], np.float32),
+        provider_strategy=np.asarray([1, 0], np.int32),
+        provider_cutoffs=np.zeros((2, S.MAX_CUTOFFS), np.int32),
+        provider_n_cutoffs=np.asarray([1, 1], np.int32),
     )
+
+
+def _synthetic_packed(cfg, n_clips=1500, seed=0):
+    from microwakeword_tpu.data import sampler as S
+
+    return S.upload_training_arrays(_synthetic_packed_arrays(cfg, n_clips, seed))
 
 
 def _synthetic_packed_audio(cfg, n_clips=600, seed=0):
@@ -298,6 +309,72 @@ def measure_train(steps: int, batch: int, chunk: int = 50):
         "chunk": chunk,
         "stats": stats,
         "roofline": _roofline(cost, 1, dt, _device_peaks()),
+    }
+
+
+def measure_train_hoststream(steps: int, batch: int, chunk: int = 64):
+    """Precomputed-spectrogram training with the corpus in HOST RAM
+    (corpus_residency: host, data/host_stream.py) -- the capacity mode for
+    corpora larger than per-chip HBM (VERDICT r4 item 1).  Sampling indices
+    are computed on the CPU backend, windows gathered from host memory and
+    shipped per chunk; batches are bit-identical to the HBM-resident path.
+    Reported next to `train` so the capacity-vs-speed tradeoff is explicit.
+    No roofline: the bound is host gather + H2D, not a device program."""
+    import jax
+
+    from microwakeword_tpu.data.host_stream import HostStreamedData
+    from microwakeword_tpu.train.loop import make_train_step
+
+    cfg, bundle, variables = _flagship_model()
+    host = HostStreamedData(_synthetic_packed_arrays(cfg))
+    chunk = min(chunk, 64)  # per-call staging memory (see train/loop.py cap)
+    optimizer, step = make_train_step(
+        bundle, host, batch, cfg.spectrogram_length, steps_per_call=chunk
+    )
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    opt_state = optimizer.init(params)
+    cpu = jax.devices("cpu")[0]
+
+    def key(i):
+        # CPU-minted keys: the producer needs key VALUES before dispatch
+        # (a default-device key would queue behind the in-flight chunk)
+        with jax.default_device(cpu):
+            return np.asarray(jax.random.PRNGKey(i))
+
+    for i in range(2):
+        params, batch_stats, opt_state, m = step(
+            params, batch_stats, opt_state, key(i), **_PHASE_KW
+        )
+    _fence(params)
+    calls_per_rep = max(1, steps // (chunk * REPS))
+    samples = []
+    k = 0
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        for _ in range(calls_per_rep):
+            params, batch_stats, opt_state, m = step(
+                params, batch_stats, opt_state, key(100 + k), **_PHASE_KW
+            )
+            k += 1
+        _fence(params)
+        samples.append((time.perf_counter() - t0) / (calls_per_rep * chunk))
+    stats = _sample_stats(samples)
+    dt = stats["median"]
+    staged_mb = batch * cfg.spectrogram_length * 40 * 2 / 1e6
+    return {
+        "steps_per_sec": 1.0 / dt,
+        "audio_seconds_per_sec": batch * cfg.spectrogram_length * 0.010 / dt,
+        "batch": batch,
+        "chunk": chunk,
+        "stats": stats,
+        "staged_mb_per_step": round(staged_mb, 2),
+        "effective_h2d_mb_per_sec": round(staged_mb / dt, 1),
+        "note": (
+            "corpus capacity bounded by host RAM, not HBM; on THIS rig the "
+            "TPU is tunnel-attached and in-context H2D+host-gather runs at "
+            "~25-50 MB/s (isolated H2D: ~1.4 GB/s), which bounds this "
+            "phase -- a PCIe-attached host is 50-100x faster here"
+        ),
     }
 
 
@@ -599,6 +676,10 @@ def main():
                                                  chunk=chunk))
     if fused is None and train is None:
         raise RuntimeError("both fused and train measurements failed")
+    train_host = phase(
+        "train (host-streamed corpus)",
+        lambda: measure_train_hoststream(steps, batch=args.batch),
+    )
     fe_reps = 10 if args.quick else 30
     frontend_xla = phase(
         "frontend xla", lambda: measure_frontend(fe_reps, backend="xla"),
@@ -668,6 +749,7 @@ def main():
         ("fused", fused), ("fused_repeat", fused_repeat),
         ("fused_alt_batch", fused_b256),
         ("fused_pallas", fused_pallas), ("train", train),
+        ("train_hoststream", train_host),
         ("frontend_xla", frontend_xla),
         ("frontend_xla_same_input", frontend_xla_cached),
         ("frontend_pallas", frontend_pallas), ("sweep8", sweep),
@@ -736,6 +818,14 @@ def main():
         ),
         "train_audio_s_per_s": round(train["audio_seconds_per_sec"], 1),
         "train_steps_per_sec": round(train["steps_per_sec"], 2),
+        # corpus-larger-than-HBM mode (host RAM residency): capacity row
+        # next to the HBM-resident rate (VERDICT r4 item 1)
+        "train_hoststream_audio_s_per_s": (
+            round(train_host["audio_seconds_per_sec"], 1) if train_host else None
+        ),
+        "train_hoststream_steps_per_sec": (
+            round(train_host["steps_per_sec"], 2) if train_host else None
+        ),
         "frontend_xla_audio_s_per_s": round(frontend_xla["audio_seconds_per_sec"], 1),
         "frontend_xla_same_input_audio_s_per_s": (
             round(frontend_xla_cached["audio_seconds_per_sec"], 1)

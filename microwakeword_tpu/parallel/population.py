@@ -170,6 +170,11 @@ def make_population_train_step(
             time_mask_count=time_mask_count,
             freq_mask_max_size=freq_mask_max_size,
             freq_mask_count=freq_mask_count,
+            # vmapped over N members this is an N*B-row gather -- the regime
+            # where the wide-row path is ~2x (VERDICT r4 item 2: private
+            # sweeps went 0.46x -> ~1.0x serial); identical features either
+            # way, so member trajectories stay bit-identical to solo
+            wide_gather=True,
         )
         return update_from_batch(
             params, batch_stats, opt_state, r_drop, learning_rate,

@@ -45,15 +45,19 @@ def main(argv=None):
                         help="override total steps (default: sum of the "
                              "config's training_steps)")
     parser.add_argument("--mesh", type=str, default="auto")
-    parser.add_argument("--share_batch", type=int, default=0,
-                        help="1: all members train on member 0's batch "
-                             "stream (one corpus gather per step serves the "
-                             "whole population -- the measured-fastest sweep "
-                             "mode, ~1.3-1.8x aggregate member-steps/s vs "
-                             "serial on a v5e, rising with n_models); "
-                             "0 (default): every member "
-                             "samples its own batches (each member "
-                             "bit-identical to training it alone)")
+    parser.add_argument("--share_batch", type=int, default=1,
+                        help="1 (default): all members train on member 0's "
+                             "batch stream (one corpus gather per step "
+                             "serves the whole population -- the measured-"
+                             "fastest sweep mode, ~1.6-1.8x aggregate "
+                             "member-steps/s vs serial on a v5e, rising "
+                             "with n_models; members are NOT independent "
+                             "draws -- see documentation/training.md §6); "
+                             "0: every member samples its own batches "
+                             "(each member bit-identical to training it "
+                             "alone; ~0.9x serial after the wide-row "
+                             "gather work -- use for publication-grade "
+                             "seed-sweep independence)")
     sub = parser.add_subparsers(dest="model_name", required=True)
     from microwakeword_tpu.model_train_eval import (
         add_inception_flags,

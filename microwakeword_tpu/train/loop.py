@@ -29,6 +29,18 @@ from microwakeword_tpu.train import metrics as M
 EPS = 1e-7  # keras BinaryCrossentropy epsilon
 
 
+def _is_host_streamed(packed) -> bool:
+    from microwakeword_tpu.data.host_stream import HostStreamedData
+
+    return isinstance(packed, HostStreamedData)
+
+
+def _is_sharded(packed) -> bool:
+    from microwakeword_tpu.parallel.corpus import ShardedTrainingData
+
+    return isinstance(packed, ShardedTrainingData)
+
+
 def pad_schedule(values, n):
     """Pad a per-phase list with its last entry (reference train.py:190-204)."""
     values = list(values)
@@ -148,6 +160,7 @@ def make_train_step(
         loss = weighted_bce(probs, labels, weights)
         return loss, (probs, updates["batch_stats"])
 
+    host_mode = False
     if isinstance(packed, S.PackedAudioData):
         import functools
 
@@ -155,6 +168,27 @@ def make_train_step(
         sample = functools.partial(
             S.sample_audio_feature_batch, frontend_backend=frontend_backend
         )
+    elif _is_host_streamed(packed):
+        # Corpus larger than HBM: batches are gathered on host
+        # (data/host_stream.py) and ride through the `corpus` slot as a
+        # pre-gathered (windows, valid, labels, weights) pytree; the step
+        # applies scaling + SpecAugment (same fifth-split augment key, so
+        # numerics match the HBM-resident path bit-for-bit).
+        host_mode = True
+
+        def sample(batch, rng, batch_size, features_length, **masks):
+            windows, valid, labels, weights = batch
+            feats = S.finish_batch(rng, windows, valid, **masks)
+            return feats, labels, weights
+
+    elif _is_sharded(packed):
+        # Mesh-sharded corpus: per-device local sampling under shard_map
+        # (parallel/corpus.py) -- corpus capacity scales with the mesh.
+        if mesh is None:
+            raise ValueError("ShardedTrainingData requires a mesh")
+        from microwakeword_tpu.parallel.corpus import make_sharded_sample
+
+        sample = make_sharded_sample(mesh, batch_size)
     elif isinstance(packed, S.PackedMixedData):
         import functools
 
@@ -228,15 +262,30 @@ def make_train_step(
         def chained(params, batch_stats, opt_state, rng, corpus, **phase):
             flat, unravel = jax.flatten_util.ravel_pytree(params)
 
-            def body(carry, step_rng):
-                flat, batch_stats, opt_state, _ = carry
-                flat, batch_stats, opt_state, pl = _step_flat(
-                    flat, unravel, batch_stats, opt_state, step_rng, corpus,
-                    **phase,
-                )
-                return (flat, batch_stats, opt_state, pl), None
+            if host_mode:
+                # corpus = per-step batch pytree stacked [steps, ...];
+                # scan consumes (step_rng, batch) pairs
+                def body(carry, x):
+                    step_rng, batch = x
+                    flat, batch_stats, opt_state, _ = carry
+                    flat, batch_stats, opt_state, pl = _step_flat(
+                        flat, unravel, batch_stats, opt_state, step_rng,
+                        batch, **phase,
+                    )
+                    return (flat, batch_stats, opt_state, pl), None
 
-            rngs = jax.random.split(rng, steps_per_call)
+                xs = (jax.random.split(rng, steps_per_call), corpus)
+            else:
+
+                def body(carry, step_rng):
+                    flat, batch_stats, opt_state, _ = carry
+                    flat, batch_stats, opt_state, pl = _step_flat(
+                        flat, unravel, batch_stats, opt_state, step_rng,
+                        corpus, **phase,
+                    )
+                    return (flat, batch_stats, opt_state, pl), None
+
+                xs = jax.random.split(rng, steps_per_call)
             pl0 = (
                 jnp.zeros((batch_size, 1), jnp.float32),  # probs [B, 1]
                 jnp.zeros((batch_size,), jnp.float32),
@@ -244,7 +293,7 @@ def make_train_step(
             )
             (flat, batch_stats, opt_state, (probs, labels, loss)), _ = (
                 jax.lax.scan(
-                    body, (flat, batch_stats, opt_state, pl0), rngs
+                    body, (flat, batch_stats, opt_state, pl0), xs
                 )
             )
             # metrics once per call, from the LAST sub-step (same record the
@@ -273,6 +322,29 @@ def make_train_step(
             else None
         ),
     )
+
+    if host_mode:
+        from microwakeword_tpu.data.host_stream import HostBatchProducer
+
+        producer = HostBatchProducer(
+            packed, batch_size, features_length, steps=steps_per_call
+        )
+
+        def call(params, batch_stats, opt_state, rng, **phase):
+            # rng must be a host-side value (the training loop keeps the
+            # rng chain on the CPU backend in host mode so this never
+            # blocks on the in-flight device step)
+            rng_np = np.asarray(rng)
+            batch = producer(rng_np)  # host gather + async H2D
+            return jitted(
+                params, batch_stats, opt_state, jnp.asarray(rng_np), batch,
+                **phase,
+            )
+
+        call.host_streamed = True
+        call.cache_size = jitted._cache_size
+        call.jitted = jitted
+        return optimizer, call
 
     # The corpus rides as a jit ARGUMENT behind this wrapper (not a closure
     # constant) so the background pool refresher can swap in a same-shaped
@@ -455,23 +527,49 @@ def train(
     with open(os.path.join(train_dir, "model_summary.txt"), "w") as f:
         f.write(model_summary(variables) + "\n")
 
-    packed = (
-        feature_handler.pack_training_audio(
+    if config.get("raw_audio_training"):
+        # Raw-audio pools are bounded by config pack_pool_size, so they
+        # don't hit the corpus-vs-HBM ceiling; replicated per device.
+        packed = feature_handler.pack_training_audio(
             step_ms=int(config.get("window_step_ms", 10))
         )
-        if config.get("raw_audio_training")
-        else feature_handler.pack_training()
-    )
-    if mesh is not None:
-        from microwakeword_tpu.parallel.train_step import replicate
+        if mesh is not None:
+            from microwakeword_tpu.parallel.train_step import replicate
 
-        packed = replicate(packed, mesh)
+            packed = replicate(packed, mesh)
+    elif mesh is not None:
+        if str(config.get("corpus_residency", "auto")) == "host":
+            raise ValueError(
+                "corpus_residency: host is single-device; with a mesh the "
+                "corpus is divided across devices instead -- set "
+                "corpus_sharding: shard"
+            )
+        from microwakeword_tpu.parallel.corpus import pack_for_mesh
+
+        packed = pack_for_mesh(feature_handler.providers, config, mesh)
+    else:
+        from microwakeword_tpu.data.host_stream import (
+            pack_training_with_residency,
+        )
+
+        packed = pack_training_with_residency(feature_handler.providers, config)
+    host_mode = _is_host_streamed(packed)
+    steps_per_call = int(config.get("steps_per_call", 1))
+    if host_mode and steps_per_call > 64:
+        # Per-call batch staging is steps*B*L*40 uint16 on both host and
+        # device; 64 steps (~128 MB at batch 128) amortizes dispatch while
+        # keeping staging memory bounded.
+        print(
+            f"host-streamed corpus: capping steps_per_call {steps_per_call} "
+            "-> 64 (batch staging memory)",
+            flush=True,
+        )
+        steps_per_call = 64
     frontend_backend = config.get("frontend_backend", "xla")
     optimizer, train_step = make_train_step(
         bundle, packed, batch_size, features_length, mesh=mesh,
         frontend_backend=frontend_backend,
     )
-    steps_per_call = int(config.get("steps_per_call", 1))
     chunk_step = None
     if steps_per_call > 1:
         _, chunk_step = make_train_step(
@@ -490,6 +588,14 @@ def train(
     # reference's fresh-augmentation-per-sample, data.py:324-402).
     refresher = None
     refresh_steps = int(config.get("pool_refresh_steps", 0) or 0)
+    if refresh_steps > 0 and (host_mode or _is_sharded(packed)):
+        print(
+            "pool_refresh_steps ignored: background pool refresh applies to "
+            "HBM-resident clips pools, not host-streamed/mesh-sharded "
+            "corpora",
+            flush=True,
+        )
+        refresh_steps = 0
     if refresh_steps > 0:
         from microwakeword_tpu.data.refresh import PoolRefresher
 
@@ -581,6 +687,14 @@ def train(
     profile_after = int(config.get("profile_after", 2))
     profile_steps = int(config.get("profile_steps", 20))
     profiling = False
+
+    if host_mode:
+        # Keep the rng chain on the CPU backend: the host batch producer
+        # needs each step rng's VALUE before dispatching the step, and a
+        # TPU-resident chain would queue the split behind the in-flight
+        # step (serializing host gather with device compute).  Threefry is
+        # backend-invariant, so the key sequence is unchanged.
+        rng = jax.device_put(rng, jax.devices("cpu")[0])
 
     step_times = []  # (n_steps, seconds) per device call
     step = 0

@@ -27,7 +27,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_phase(phase, batch, chunk, steps, trace_dir):
+def run_phase(phase, batch, chunk, steps, trace_dir, share_batch=True):
     import jax
 
     import bench
@@ -102,7 +102,7 @@ def run_phase(phase, batch, chunk, steps, trace_dir):
         variables = init_population(bundle, range(n_models))
         optimizer, step = make_population_train_step(
             bundle, packed, batch, cfg.spectrogram_length, steps_per_call=chunk,
-            share_batch=True,
+            share_batch=share_batch,
         )
         opt_state = jax.vmap(optimizer.init)(variables["params"])
         keys = jax.vmap(jax.random.PRNGKey)(
@@ -190,12 +190,15 @@ def main():
     ap.add_argument("--chunk", type=int, default=100)
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--share-batch", type=int, default=1,
+                    help="population phase: 1=shared batch stream, 0=private")
     ap.add_argument("--keep", type=str, default=None,
                     help="keep the raw trace in this directory")
     args = ap.parse_args()
     trace_dir = args.keep or tempfile.mkdtemp(prefix="mww_trace_")
     t_timed, n_steps = run_phase(
-        args.phase, args.batch, args.chunk, args.steps, trace_dir
+        args.phase, args.batch, args.chunk, args.steps, trace_dir,
+        share_batch=bool(args.share_batch),
     )
     summarize(trace_dir, t_timed, n_steps, args.top)
     print(f"\nraw trace: {trace_dir}")

@@ -623,7 +623,10 @@ def test_pool_refresher_swaps_without_retrace(tmp_path):
         "spectrogram_length": 40,
         "raw_audio_training": True,
         "pool_refresh_steps": 10,
-        "training_steps": [60],
+        # pool augmentations are deliberately unseeded (fresh randomness per
+        # refresh), so train long enough that the accuracy gate is robust
+        # to the draw
+        "training_steps": [120],
         "learning_rates": [0.02],
         "eval_step_interval": 30,
         "features": [clips_feature("pos", True), clips_feature("neg", False)],
@@ -807,3 +810,51 @@ def test_pool_refresher_slot_mismatch_warns():
     with pytest.warns(UserWarning, match="packed slots"):
         chunks = r._build_chunks()
     assert chunks.shape == tuple(packed.chunks.shape)
+
+
+def test_wide_gather_matches_row_gather():
+    """The wide-row gather fast path (EDGE_PAD/WIDE_K, sampler.sample_batch)
+    must return features bit-identical to the per-frame-row gather for the
+    same corpus and rng -- including short clips (left silence), random and
+    fixed_right_cutoff strategies, and SpecAugment."""
+    import jax
+
+    from microwakeword_tpu.data import sampler as S
+
+    rng = np.random.default_rng(3)
+    n_clips, L = 30, 25
+    lengths = rng.integers(8, 60, n_clips)  # includes short clips (n < L)
+    total = int(lengths.sum())
+    pad = S.EDGE_PAD
+    end_pad = pad + (-(pad + total)) % S.WIDE_K
+    frames = np.zeros((pad + total + end_pad, 40), np.uint16)
+    frames[pad : pad + total] = rng.integers(0, 660, (total, 40))
+    offsets = np.concatenate([[0], np.cumsum(lengths)])[:-1] + pad
+    half = n_clips // 2
+    arrays = dict(
+        frames=frames,
+        edge_pad=pad,
+        clip_offset=offsets.astype(np.int32),
+        clip_length=lengths.astype(np.int32),
+        provider_logits=np.asarray([0.0, 0.0], np.float32),
+        provider_clip_start=np.asarray([0, half], np.int32),
+        provider_clip_count=np.asarray([half, n_clips - half], np.int32),
+        provider_label=np.asarray([1.0, 0.0], np.float32),
+        provider_penalty=np.asarray([1.0, 2.0], np.float32),
+        provider_strategy=np.asarray([0, 3], np.int32),  # random, fixed_cutoff
+        provider_cutoffs=np.tile(
+            np.asarray([0, 5, 0, 0, 0, 0, 0, 0], np.int32), (2, 1)
+        ),
+        provider_n_cutoffs=np.asarray([1, 2], np.int32),
+    )
+    padded = S.upload_training_arrays(arrays)
+    stripped = padded.replace(edge_pad=0)  # same arrays, per-frame-row path
+    kw = dict(time_mask_max_size=3, time_mask_count=1,
+              freq_mask_max_size=3, freq_mask_count=1)
+    for seed in range(4):
+        r = jax.random.PRNGKey(seed)
+        fw, lw, ww = S.sample_batch(padded, r, 16, L, wide_gather=True, **kw)
+        fs, ls, ws = S.sample_batch(stripped, r, 16, L, **kw)
+        np.testing.assert_array_equal(np.asarray(fw), np.asarray(fs))
+        np.testing.assert_array_equal(np.asarray(lw), np.asarray(ls))
+        np.testing.assert_array_equal(np.asarray(ww), np.asarray(ws))
