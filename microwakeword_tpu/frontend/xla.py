@@ -123,6 +123,16 @@ def scaled_filterbank(frames: jnp.ndarray) -> jnp.ndarray:
     """[..., T, 480] float32 frames -> [..., T, 40] scaled-filterbank amps.
 
     Two MXU matmuls + fused elementwise; see module docstring.
+
+    Formulation note (round-5 measured negatives, fused b128 step): this
+    two-matmul split is the FASTEST of three formulations tried on a v5e.
+    (a) one combined [480, 514] cos|sin matmul (frames read once instead
+    of twice): 2056 vs 2255 steps/s -- the 514-wide f32 output tiles
+    worse than two 257-wide ones; (b) a kernel-3 conv over hop chunk rows
+    (frames never materialized in HBM): 1861 steps/s -- XLA's conv
+    lowering at [160ch -> 514ch, k=3] loses more than the saved frame
+    bytes.  The step runs at ~92% of MEASURED HBM bandwidth (BENCH r5
+    roofline, trace-measured bytes), so the remaining floor is physical.
     """
     wc, ws, mel, _ = _dft_mel_constants()
     re = jnp.matmul(frames, wc, preferred_element_type=jnp.float32)

@@ -196,6 +196,58 @@ def measure_end_to_end(model, spectrogram_length, batch, steps):
     }
 
 
+def measure_streamed_eval(spectrogram_length, minutes=2.0):
+    """The reference's streamed-eval hot loop: streaming TFLite interpreter
+    invoked once per stride chunk over a long ambient spectrogram
+    (inference.py:98-125, the mechanism behind tflite_streaming_model_roc,
+    test.py:293-403).  Float (non-quantized) TFLite -- int8 on desktop CPU
+    measured no faster and quantization needs a calibration corpus."""
+    import microwakeword.utils as utils
+    from microwakeword import inference as ref_inference
+    from microwakeword.layers import modes
+
+    flags = flagship_flags()
+    model = mixednet.model(flags, (spectrogram_length, 40), 1)
+    with tempfile.TemporaryDirectory() as tmp:
+        config = {
+            "train_dir": tmp,
+            "stride": 3,
+            "window_step_ms": 10,
+            "training_input_shape": (spectrogram_length, 40),
+            "spectrogram_length": spectrogram_length,
+        }
+        utils.convert_model_saved(
+            model, config, "stream_state_internal",
+            modes.Modes.STREAM_INTERNAL_STATE_INFERENCE,
+        )
+        utils.convert_saved_model_to_tflite(
+            config, None,
+            os.path.join(tmp, "stream_state_internal"),
+            os.path.join(tmp, "tflite"), "stream.tflite", quantize=False,
+        )
+        m = ref_inference.Model(
+            os.path.join(tmp, "tflite", "stream.tflite"), stride=3
+        )
+        frames = int(minutes * 60.0 * 100)  # 10 ms hop
+        rng = np.random.default_rng(0)
+        spec = rng.uniform(0, 26, (frames, 40)).astype(np.float32)
+        m.predict_spectrogram(spec[: 300 * 3])  # warm
+        t0 = time.perf_counter()
+        m.predict_spectrogram(spec)
+        dt = time.perf_counter() - t0
+        audio_s = frames * 0.010
+    return {
+        "what": (
+            "reference streamed eval: streaming TFLite (float) "
+            "predict_spectrogram per-chunk interpreter loop "
+            "(inference.py:98-125)"
+        ),
+        "ambient_minutes": minutes,
+        "eval_seconds": dt,
+        "audio_seconds_per_sec": audio_s / dt,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=20)
@@ -203,7 +255,28 @@ def main():
                     help="batch size; 128 writes the canonical record, other "
                          "values add an end_to_end_b{N} entry (so our bench "
                          "can compare same-batch configurations honestly)")
+    ap.add_argument("--eval-only", action="store_true",
+                    help="measure only the streamed-eval rate and merge it "
+                         "into the golden record")
     args = ap.parse_args()
+
+    if args.eval_only:
+        flags = flagship_flags()
+        dropped = mixednet.spectrogram_slices_dropped(flags)
+        final = 1 + (16 * 1500 - 480) // (3 * 16 * 10)
+        ev = measure_streamed_eval(final + dropped)
+        print("streamed_eval:", json.dumps(ev))
+        out = os.path.join(os.path.dirname(__file__), "..", "tests",
+                           "golden", "reference_baseline.json")
+        result = {}
+        if os.path.exists(out):
+            with open(out) as f:
+                result = json.load(f)
+        result["streamed_eval"] = ev
+        with open(out, "w") as f:
+            json.dump(result, f, indent=2)
+        print(f"wrote {os.path.normpath(out)}")
+        return
 
     flags = flagship_flags()
     dropped = mixednet.spectrogram_slices_dropped(flags)

@@ -36,9 +36,9 @@ def run_phase(phase, batch, chunk, steps, trace_dir, share_batch=True):
     if phase == "fused":
         cfg, bundle, variables = bench._flagship_model()
         packed = bench._synthetic_packed_audio(cfg)
-        samples, _ = bench._run_train_loop(
+        samples, _, _ = bench._run_train_loop(
             bundle, variables, packed, cfg, 2 * chunk, batch, chunk=chunk,
-            reps=1,
+            reps=1, measure_bytes=False,
         )  # warmup path compiles everything
         # timed, traced region: a few chunked calls
         from microwakeword_tpu.train.loop import make_train_step
