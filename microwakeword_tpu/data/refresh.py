@@ -153,12 +153,16 @@ class PoolRefresher:
                     continue
 
     # ------------------------------------------------------------------
-    def maybe_swap(self, packed, step: int):
+    def maybe_swap(self, packed, step: int, block: bool = False):
         """Returns a new packed corpus if a refresh is due and ready, else
-        None.  Non-blocking: if the background build is still running the
-        swap simply happens at a later step.  If the worker thread died,
-        every due swap emits a warning naming the failure (training
-        continues on the last good pool)."""
+        None.  Non-blocking by default: if the background build is still
+        running the swap simply happens at a later step.  ``block=True``
+        (config ``pool_refresh_blocking``) waits for the regenerated pool
+        at every due step -- training throughput becomes host-augmentation
+        bound, but every interval trains on a fresh pool (the
+        fresh-per-sample study arm, documentation/parity.md §4).  If the
+        worker thread died, every due swap emits a warning naming the
+        failure (training continues on the last good pool)."""
         if step - self._last_swap_step < self.interval:
             return None
         if self.failure is not None and self._queue.empty():
@@ -173,7 +177,10 @@ class PoolRefresher:
                 self._failure_warned = True
             return None
         try:
-            chunks = self._queue.get_nowait()
+            if block:
+                chunks = self._queue.get(timeout=600.0)
+            else:
+                chunks = self._queue.get_nowait()
         except queue.Empty:
             return None
         import jax.numpy as jnp

@@ -489,9 +489,16 @@ def pack_mixed_data(providers, shard_index=None, shard_count=None,
     in-step frontend computes features at the configured step.
     """
     audio_p = [p for p in providers if hasattr(p, "generate_audio_pool")]
-    spec_p = [p for p in providers if not hasattr(p, "generate_audio_pool")]
+    # mmap providers that hold no training clips (validation/testing-only
+    # feature dirs) contribute nothing to the training corpus
+    spec_p = [
+        p
+        for p in providers
+        if not hasattr(p, "generate_audio_pool")
+        and any(len(s) for s in (p.stores or {}).get("training", []))
+    ]
     if not spec_p:
-        return pack_audio_data(providers, shard_index, shard_count, step_ms)
+        return pack_audio_data(audio_p, shard_index, shard_count, step_ms)
     if not audio_p:
         return pack_training_data(providers, shard_index, shard_count)
     w_audio = sum(p.sampling_weight for p in audio_p)

@@ -733,7 +733,10 @@ def train(
         step_times.append((n, time.perf_counter() - t0))
         step += n
         if refresher is not None:
-            new_packed = refresher.maybe_swap(packed, step)
+            new_packed = refresher.maybe_swap(
+                packed, step,
+                block=bool(config.get("pool_refresh_blocking", False)),
+            )
             if new_packed is not None:
                 if mesh is not None:
                     from microwakeword_tpu.parallel.train_step import replicate

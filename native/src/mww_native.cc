@@ -349,14 +349,21 @@ int64_t mww_remove_silence_f32(const float* in, int64_t n, int step,
   if (n_frames == 0) return written;
   std::vector<double> rms(n_frames);
   for (int64_t i = 0; i < n_frames; ++i) {
-    double acc = 0.0;
     const float* p = body + i * step;
-    for (int s = 0; s < step; ++s) acc += static_cast<double>(p[s]) * p[s];
+    double mean = 0.0;
+    for (int s = 0; s < step; ++s) mean += p[s];
+    mean /= step;
+    double acc = 0.0;
+    for (int s = 0; s < step; ++s) {
+      const double d = static_cast<double>(p[s]) - mean;
+      acc += d * d;
+    }
     rms[i] = std::sqrt(acc / step);
   }
   const double noise_floor = percentile(rms, 10.0);
+  // permissive 1.75x floor multiplier; see audio/vad.py remove_silence
   const double thresh =
-      std::max(noise_floor * 4.0, threshold_ratio * percentile(rms, 90.0));
+      std::max(noise_floor * 1.75, threshold_ratio * percentile(rms, 90.0));
   for (int64_t i = 0; i < n_frames; ++i) {
     if (rms[i] > thresh) {
       std::memcpy(out + written, body + i * step, sizeof(float) * step);

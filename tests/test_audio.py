@@ -180,3 +180,78 @@ def test_end_to_end_dataset_build(tmp_path, rng):
     assert len(store) == 12  # 4 clips x 3 slide frames
     assert store[0].shape[1] == 40
     assert store[0].dtype == np.uint16
+
+
+def test_vad_trim_decisions_against_ground_truth():
+    """Trim-decision validation against constructed ground truth (VERDICT r4
+    item 8).  The gold standard would be webrtcvad.Vad(0) frame decisions,
+    but that wheel is not installed in this image and cannot be (no
+    network), so the behavioral contract is asserted directly: on
+    speech-like signals with KNOWN voiced regions over realistic noise
+    floors, the trimmer must (a) retain nearly all true speech, (b) remove
+    most interior silence, and (c) preserve the reference's frame
+    semantics (30 ms frames; the first 2000 samples always survive --
+    reference audio_utils.py:99-140).  Offline data-prep only."""
+    rng = np.random.default_rng(7)
+    sr, step = 16000, 480
+
+    def speechish(seconds):
+        # amplitude-modulated multi-tone burst with harmonics, speech-band
+        t = np.arange(int(seconds * sr)) / sr
+        f0 = rng.uniform(120, 220)
+        x = sum(
+            a * np.sin(2 * np.pi * f0 * k * t + rng.uniform(0, 6.28))
+            for k, a in ((1, 1.0), (2, 0.6), (3, 0.35), (5, 0.2))
+        )
+        # envelope floor 0.3 so every 30 ms frame carries voice energy
+        # (a 0-floor envelope makes frames at modulation minima true
+        # silence, which the trimmer correctly drops)
+        env = 0.65 + 0.35 * np.sin(2 * np.pi * rng.uniform(3, 6) * t)
+        return (0.3 * env * x / np.max(np.abs(x))).astype(np.float32)
+
+    for noise_amp in (0.001, 0.005, 0.02):
+        # layout: [1.0 s noise][0.8 s speech][1.2 s noise][0.5 s speech][0.9 s noise]
+        segs = [
+            ("noise", 1.0), ("speech", 0.8), ("noise", 1.2),
+            ("speech", 0.5), ("noise", 0.9),
+        ]
+        parts, truth = [], []
+        pos = 0
+        for kind, sec in segs:
+            n = int(sec * sr)
+            if kind == "speech":
+                parts.append(speechish(sec)
+                             + noise_amp * rng.standard_normal(n).astype(np.float32))
+                truth.append((pos, pos + n))
+            else:
+                parts.append(noise_amp * rng.standard_normal(n).astype(np.float32))
+            pos += n
+        audio = np.concatenate(parts)
+        trimmed = remove_silence(audio)
+
+        total = len(audio)
+        speech_samples = sum(b - a for a, b in truth)
+        noise_samples = total - speech_samples
+        # (c) first 2000 samples always kept
+        assert len(trimmed) >= 2000
+        # (a) nearly all speech retained: kept length covers >= 90% of
+        # speech (plus the 2000-sample head and frame-granularity slack)
+        assert len(trimmed) >= 0.9 * speech_samples, (
+            noise_amp, len(trimmed), speech_samples)
+        # (b) most interior silence removed: kept length is far below the
+        # original (at most speech + 25% of the noise)
+        assert len(trimmed) <= speech_samples + 0.25 * noise_samples + 2000 + 2 * step, (
+            noise_amp, len(trimmed), speech_samples, noise_samples)
+        # the retained audio actually contains the speech energy: its RMS
+        # must be well above the noise floor (quiet retained speech frames
+        # pull it below the loud-speech RMS, hence 3x not 5x)
+        assert np.sqrt(np.mean(trimmed[2000:] ** 2)) > 3 * noise_amp
+
+
+def test_vad_all_silence_keeps_only_head():
+    rng = np.random.default_rng(3)
+    audio = (0.003 * rng.standard_normal(4 * 16000)).astype(np.float32)
+    trimmed = remove_silence(audio)
+    # uniform noise: nothing clears the adaptive threshold decisively;
+    # at most the head + a few outlier frames survive
+    assert len(trimmed) <= 2000 + 6 * 480
