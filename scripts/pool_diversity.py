@@ -21,9 +21,15 @@ scripts/roc_parity.py), with matched seeds across three arms:
                  between this arm and the ideal).
 
 Each run trains raw-audio mode (in-step frontend) on clips-type providers
-with an aggressive augmentation policy (colored noise at 3-15 dB SNR,
-gain, gain transitions, band-stop), selects best weights by the two-step
-policy, and scores best+last checkpoints with the streamed ambient ROC.
+with an aggressive augmentation policy (colored noise at 0-12 dB SNR,
+gain, gain transitions, band-stop) over a deliberately small base-clip set
+(80/class) so augmentation diversity is the dominant source of variety,
+selects best weights by the two-step policy, and scores best+last
+checkpoints with the streamed ambient ROC.  Because the final ROC can
+saturate at 0 on a solvable task, the report also records the train-pool
+accuracy vs held-out validation recall at the final eval -- a diversity
+deficit appears as a train/val generalization gap before it appears in
+the ROC.
 
 Run: python scripts/pool_diversity.py [--seeds 4] [--quick]
 Writes tests/golden/pool_diversity_report.json; the conclusions table
@@ -109,8 +115,8 @@ def arm_config(workdir, train_dir, steps, batch, seed, arm):
             "GainTransition": 0.3,
             "BandStopFilter": 0.3,
         },
-        "color_min_snr_db": 3,
-        "color_max_snr_db": 15,
+        "color_min_snr_db": 0,
+        "color_max_snr_db": 12,
         "min_gain_db": -20,
         "max_gain_db": 0,
     }
@@ -192,7 +198,21 @@ def run_arm(workdir, arm, seed, steps, batch):
     t0 = time.perf_counter()
     _, history = training.train(bundle, config, fh)
     train_s = time.perf_counter() - t0
-    out = {"train_seconds": train_s, "steps_per_sec": steps / train_s}
+    final = history[-1]
+    out = {
+        "train_seconds": train_s,
+        "steps_per_sec": steps / train_s,
+        # pool-overfitting sensitivity when the final ROC saturates at 0:
+        # training accuracy on the (reused) pool vs held-out validation
+        # recall -- a diversity deficit shows as a train/val gap first
+        "final_train_accuracy": float(final["train"].get("accuracy", 0.0)),
+        "final_val_recall_at_no_faph": float(
+            (final.get("validation") or {}).get("recall_at_no_faph", 0.0)
+        ),
+        "final_val_avr": float(
+            (final.get("validation") or {}).get("average_viable_recall", 0.0)
+        ),
+    }
     for which in ("best", "last"):
         variables = training.load_weights(
             bundle, os.path.join(train_dir, f"{which}_weights.msgpack")
@@ -233,7 +253,7 @@ def main():
 
     steps = 300 if args.quick else args.steps
     sizes = {
-        "train_clips": 30 if args.quick else 150,
+        "train_clips": 30 if args.quick else 80,
         "val_clips": 40 if args.quick else 150,
         "test_clips": 40 if args.quick else 200,
         "validation_ambient_s": [120.0] if args.quick else [600.0, 600.0],
@@ -295,6 +315,18 @@ def main():
                 "best_frr_at_2faph": stats(arm, "best", "frr_at_2faph"),
                 "best_auc": stats(arm, "best", "auc"),
                 "last_frr_at_2faph": stats(arm, "last", "frr_at_2faph"),
+                "final_val_recall_at_no_faph": {
+                    "mean": float(np.mean(
+                        [r.get("final_val_recall_at_no_faph", 0.0)
+                         for r in results[arm]]
+                    )),
+                },
+                "final_train_accuracy": {
+                    "mean": float(np.mean(
+                        [r.get("final_train_accuracy", 0.0)
+                         for r in results[arm]]
+                    )),
+                },
                 "steps_per_sec": {
                     "mean": float(np.mean([r["steps_per_sec"] for r in results[arm]]))
                 },
