@@ -112,10 +112,16 @@ def _synthetic_packed_audio(cfg, n_clips=600, seed=0):
     window_chunks = cfg.spectrogram_length + S.WINDOW_CHUNKS - 1
     counts = rng.integers(window_chunks, window_chunks + 120, n_clips).astype(np.int64)
     total = int(counts.sum())
-    chunks = rng.integers(-8000, 8000, (total, S.HOP_SAMPLES)).astype(np.int16)
-    offsets = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    pad = S.EDGE_PAD
+    end_pad = pad + (-(pad + total)) % S.WIDE_K
+    chunks = np.zeros((pad + total + end_pad, S.HOP_SAMPLES), np.int16)
+    chunks[pad : pad + total] = rng.integers(
+        -8000, 8000, (total, S.HOP_SAMPLES)
+    ).astype(np.int16)
+    offsets = np.concatenate([[0], np.cumsum(counts)])[:-1] + pad
     half = n_clips // 2
     return S.PackedAudioData(
+        edge_pad=pad,
         chunks=jnp.asarray(chunks),
         clip_offset=jnp.asarray(offsets.astype(np.int32)),
         clip_chunks=jnp.asarray(counts.astype(np.int32)),
@@ -315,7 +321,7 @@ def _sample_stats(samples):
 
 def _run_train_loop(bundle, variables, packed, cfg, steps, batch, chunk=50,
                     mesh=None, frontend_backend="xla", reps=REPS,
-                    measure_bytes=True):
+                    measure_bytes=True, audio_wide_gather=False):
     """Times the fused step (precomputed features OR raw audio, by packed
     type) chained `chunk` steps per XLA call.  Returns (samples, cost,
     (measured_bytes_per_step, busy_sec_per_step)): a list of `reps`
@@ -329,6 +335,7 @@ def _run_train_loop(bundle, variables, packed, cfg, steps, batch, chunk=50,
     optimizer, step = make_train_step(
         bundle, packed, batch, cfg.spectrogram_length, steps_per_call=chunk,
         mesh=mesh, frontend_backend=frontend_backend,
+        audio_wide_gather=audio_wide_gather,
     )
     params, batch_stats = variables["params"], variables["batch_stats"]
     opt_state = optimizer.init(params)
@@ -346,6 +353,7 @@ def _run_train_loop(bundle, variables, packed, cfg, steps, batch, chunk=50,
     _, step1 = make_train_step(
         bundle, packed, batch, cfg.spectrogram_length, steps_per_call=1,
         mesh=mesh, frontend_backend=frontend_backend,
+        audio_wide_gather=audio_wide_gather,
     )
     cost = _cost_analysis(
         step1.jitted, params, batch_stats, opt_state, jax.random.PRNGKey(0),
@@ -475,7 +483,7 @@ def measure_train_hoststream(steps: int, batch: int, chunk: int = 64):
 
 
 def measure_fused_pipeline(steps: int, batch: int, frontend_backend: str = "xla",
-                           chunk: int = 50):
+                           chunk: int = 50, audio_wide_gather: bool = False):
     """The headline: raw PCM sampling + frontend + train in ONE program.
 
     ``chunk`` chains that many optimizer steps per XLA call; the headline
@@ -486,6 +494,7 @@ def measure_fused_pipeline(steps: int, batch: int, frontend_backend: str = "xla"
     samples, cost, measured = _run_train_loop(
         bundle, variables, _synthetic_packed_audio(cfg), cfg, steps, batch,
         frontend_backend=frontend_backend, chunk=chunk,
+        audio_wide_gather=audio_wide_gather,
     )
     stats = _sample_stats(samples)
     dt = stats["median"]
@@ -875,6 +884,26 @@ def main():
                            > fused["audio_seconds_per_sec"]):
             fused, fused_b256 = fused_b256, fused
             log("[bench] batch 256 wins the fused headline")
+    fused_wide = None
+    headline_wide = False
+    if backend == "tpu":
+        # wide-row chunk gather A/B (2-hop rows + parity select; the
+        # spectrogram path's wide gather won 2x for population sweeps,
+        # audio rows are already 2x wider so the win is smaller a priori)
+        fused_wide = phase(
+            "fused pipeline (wide audio gather)",
+            lambda: measure_fused_pipeline(
+                steps, batch=(fused or {}).get("batch", args.batch),
+                chunk=chunk, audio_wide_gather=True,
+            ),
+        )
+        if fused_wide and (fused is None or
+                           fused_wide["audio_seconds_per_sec"]
+                           > fused["audio_seconds_per_sec"]):
+            fused_wide["batch"] = (fused or {}).get("batch", args.batch)
+            fused, fused_wide = fused_wide, fused
+            headline_wide = True
+            log("[bench] wide audio gather wins the fused headline")
     fused_pallas = None
     if backend == "tpu":
         fused_pallas = phase(
@@ -902,6 +931,7 @@ def main():
             lambda: measure_fused_pipeline(
                 steps, batch=fused.get("batch", args.batch), chunk=chunk,
                 frontend_backend=headline_fe,
+                audio_wide_gather=headline_wide,
             ),
         )
     train = phase("train", lambda: measure_train(steps, batch=args.batch,
@@ -996,6 +1026,7 @@ def main():
     for name, rec in (
         ("fused", fused), ("fused_repeat", fused_repeat),
         ("fused_alt_batch", fused_b256),
+        ("fused_wide_gather", fused_wide),
         ("fused_pallas", fused_pallas), ("train", train),
         ("train_hoststream", train_host),
         ("frontend_xla", frontend_xla),
@@ -1068,6 +1099,10 @@ def main():
         "fused_alt_frontend_audio_s_per_s": (
             round(fused_pallas["audio_seconds_per_sec"], 1) if fused_pallas else None
         ),
+        "fused_alt_gather_audio_s_per_s": (
+            round(fused_wide["audio_seconds_per_sec"], 1) if fused_wide else None
+        ),
+        "headline_wide_audio_gather": headline_wide,
         "train_audio_s_per_s": round(train["audio_seconds_per_sec"], 1),
         "train_steps_per_sec": round(train["steps_per_sec"], 2),
         # corpus-larger-than-HBM mode (host RAM residency): capacity row

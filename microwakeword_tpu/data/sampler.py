@@ -287,6 +287,9 @@ class PackedAudioData:
     provider_strategy: jnp.ndarray  # [P] int32
     # static (jit-time) hop width; 16 * window_step_ms
     hop_samples: int = flax.struct.field(pytree_node=False, default=HOP_SAMPLES)
+    # static: zero-chunk edge padding (enables the wide-row gather; see
+    # PackedTrainingData.edge_pad)
+    edge_pad: int = flax.struct.field(pytree_node=False, default=0)
 
 
 def pack_audio_data(providers, shard_index=None, shard_count=None,
@@ -347,7 +350,18 @@ def pack_audio_data(providers, shard_index=None, shard_count=None,
         clip_pos += n_clips
     if not chunk_parts:
         raise ValueError("no audio clips found in any provider")
+    # Edge padding + WIDE_K alignment (see EDGE_PAD note) for the wide-row
+    # chunk gather.
+    total = sum(p.shape[0] for p in chunk_parts)
+    end_pad = EDGE_PAD + (-(EDGE_PAD + total)) % WIDE_K
+    chunk_parts = (
+        [np.zeros((EDGE_PAD, hop), np.int16)]
+        + chunk_parts
+        + [np.zeros((end_pad, hop), np.int16)]
+    )
+    offsets = [o + EDGE_PAD for o in offsets]
     return PackedAudioData(
+        edge_pad=EDGE_PAD,
         chunks=jnp.asarray(np.concatenate(chunk_parts, axis=0)),
         clip_offset=jnp.asarray(np.asarray(offsets, np.int32)),
         clip_chunks=jnp.asarray(np.asarray(counts, np.int32)),
@@ -371,11 +385,17 @@ def sample_audio_feature_batch(
     freq_mask_max_size: int = 0,
     freq_mask_count: int = 0,
     frontend_backend: str = "xla",
+    wide_gather: bool = False,
 ):
     """Draws one training batch from raw audio entirely on device: weighted
     window sampling -> fused frontend (MXU DFT/mel + associative-scan AGC,
     frontend/xla.py) -> SpecAugment.  Returns (features [B, L, 40] f32 in
     [0, 26], labels [B], weights [B]).
+
+    ``wide_gather`` (edge-padded corpora only): gather pairs of hop chunks
+    (640-sample = 1280 B rows) + a 2-way parity select instead of single
+    hop rows -- same mechanism as the spectrogram path's wide gather
+    (sample_batch), same bit-identical features.
 
     The frontend runs on the sampled window only, so the AGC noise estimate
     starts fresh at the window start (the reference's on-the-fly mode
@@ -414,7 +434,26 @@ def sample_audio_feature_batch(
     # Short clips: right-align with leading silence (start may be negative).
     start = jnp.where(n > n_chunks, start_long, n - n_chunks)
 
-    chunks, valid = gather_windows(data.chunks, off, n, start, n_chunks)
+    k = 2  # wide chunk rows: 2 hops = 640 samples (1280 B) per gathered row
+    if wide_gather and data.edge_pad and data.chunks.shape[0] % k == 0:
+        rel = start[:, None] + jnp.arange(n_chunks)[None, :]
+        valid = (rel >= 0) & (rel < n[:, None])
+        g0 = off + start
+        wide = data.chunks.reshape(-1, hop * k)
+        pr = g0 // k
+        nwide = (n_chunks + 2 * k - 2) // k + 1
+        wrows = jnp.clip(
+            pr[:, None] + jnp.arange(nwide)[None, :], 0, wide.shape[0] - 1
+        )
+        ww = jnp.take(wide, wrows, axis=0).reshape(b, nwide * k, hop)
+        par = (g0 % k).astype(jnp.int32)
+        chunks = ww[:, 0:n_chunks]
+        for j in range(1, k):
+            chunks = jnp.where(
+                (par == j)[:, None, None], ww[:, j : j + n_chunks], chunks
+            )
+    else:
+        chunks, valid = gather_windows(data.chunks, off, n, start, n_chunks)
     chunks = chunks.astype(jnp.float32) * valid[:, :, None]  # [B, C, hop]
 
     if frontend_backend == "pallas":

@@ -858,3 +858,52 @@ def test_wide_gather_matches_row_gather():
         np.testing.assert_array_equal(np.asarray(fw), np.asarray(fs))
         np.testing.assert_array_equal(np.asarray(lw), np.asarray(ls))
         np.testing.assert_array_equal(np.asarray(ww), np.asarray(ws))
+
+
+def test_audio_wide_gather_matches_row_gather():
+    """The raw-audio wide chunk gather (sample_audio_feature_batch
+    wide_gather=True) must produce features identical to the per-hop row
+    gather for the same corpus and rng (edge-padded pack)."""
+    import jax
+
+    from microwakeword_tpu.data import sampler as S
+
+    rng = np.random.default_rng(5)
+    n_clips, L = 20, 25
+    hop = 160
+    wc = S.window_chunks_for_hop(hop)
+    counts = rng.integers(max(wc, 8), L + 40, n_clips)
+    total = int(counts.sum())
+    pad = S.EDGE_PAD
+    end_pad = pad + (-(pad + total)) % S.WIDE_K
+    chunks = np.zeros((pad + total + end_pad, hop), np.int16)
+    chunks[pad : pad + total] = rng.integers(-8000, 8000, (total, hop))
+    offsets = np.concatenate([[0], np.cumsum(counts)])[:-1] + pad
+    half = n_clips // 2
+    import jax.numpy as jnp
+
+    packed = S.PackedAudioData(
+        chunks=jnp.asarray(chunks),
+        clip_offset=jnp.asarray(offsets.astype(np.int32)),
+        clip_chunks=jnp.asarray(counts.astype(np.int32)),
+        provider_logits=jnp.asarray([0.0, 0.0], jnp.float32),
+        provider_clip_start=jnp.asarray([0, half], jnp.int32),
+        provider_clip_count=jnp.asarray([half, n_clips - half], jnp.int32),
+        provider_label=jnp.asarray([1.0, 0.0], jnp.float32),
+        provider_penalty=jnp.asarray([1.0, 1.0], jnp.float32),
+        provider_strategy=jnp.asarray([0, 1], jnp.int32),
+        hop_samples=hop,
+        edge_pad=pad,
+    )
+    stripped = packed.replace(edge_pad=0)
+    kw = dict(time_mask_max_size=3, time_mask_count=1,
+              freq_mask_max_size=3, freq_mask_count=1)
+    for seed in range(3):
+        r = jax.random.PRNGKey(seed)
+        fw, lw, ww = S.sample_audio_feature_batch(
+            packed, r, 8, L, wide_gather=True, **kw)
+        fs, ls, ws = S.sample_audio_feature_batch(
+            stripped, r, 8, L, **kw)
+        np.testing.assert_array_equal(np.asarray(fw), np.asarray(fs))
+        np.testing.assert_array_equal(np.asarray(lw), np.asarray(ls))
+        np.testing.assert_array_equal(np.asarray(ww), np.asarray(ws))
