@@ -99,6 +99,14 @@ def trajectory_stats(steps, avr, total_steps):
         out["collapses_after_first_convergence"] = int(
             np.sum((after[:-1] >= AVR_COLLAPSE) & (after[1:] < AVR_COLLAPSE))
         ) + int(after[0] < AVR_COLLAPSE)
+        # dwell: fraction of post-convergence evals spent inside a collapse
+        # episode = P(the final checkpoint lands in one).  If both trainers
+        # collapse equally often but ours dwells longer, last-checkpoint
+        # wobble rates differ with identical dynamics frequency.
+        out["evals_below_after_convergence"] = int(np.sum(after < AVR_COLLAPSE))
+        out["frac_evals_in_collapse"] = round(
+            float(np.mean(after < AVR_COLLAPSE)), 4
+        )
     else:
         out["never_converged"] = True
     return out
@@ -109,16 +117,30 @@ def main():
     ap.add_argument("--workdir", type=str, required=True)
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--merge-golden", type=str, default=None,
+                    help="merge per-seed last/best FRRs from a prior "
+                         "roc_parity golden report (runs are deterministic "
+                         "per seed, so prior-round seeds are the same "
+                         "experiment; fresh workdir seeds take precedence "
+                         "and contribute trajectories)")
     args = ap.parse_args()
 
     res_dir = os.path.join(args.workdir, "seed_results")
     arms = {}
+    if args.merge_golden:
+        with open(args.merge_golden) as f:
+            golden = json.load(f)
+        for arm, seeds in golden.get("per_seed", {}).items():
+            recs = seeds.values() if isinstance(seeds, dict) else seeds
+            for rec in recs:
+                rec = dict(rec, source="prior_round_golden")
+                arms.setdefault(arm, {})[int(rec["seed"])] = rec
     for path in sorted(glob.glob(os.path.join(res_dir, "inception_*.json"))):
         name = os.path.basename(path)[len("inception_"):-len(".json")]
         arm, seed = name.rsplit("_", 1)
         with open(path) as f:
             rec = json.load(f)
-        arms.setdefault(arm, {})[int(seed)] = rec
+        arms.setdefault(arm, {})[int(seed)] = rec  # fresh run wins
 
     report = {"wobble_frr_threshold": WOBBLE_FRR, "arms": {}}
     for arm, by_seed in sorted(arms.items()):
@@ -149,6 +171,10 @@ def main():
             "last_checkpoint_wobbles": wob,
             "wobble_rate": round(wob / n, 3) if n else None,
             "trajectory_collapses_total": dips,
+            "mean_frac_evals_in_collapse": round(float(np.mean([
+                r["trajectory"].get("frac_evals_in_collapse", 0.0)
+                for r in rows
+            ])), 4) if rows else None,
             "seeds_with_any_trajectory_collapse": sum(
                 1 for r in rows
                 if r["trajectory"].get("collapses_after_first_convergence", 0) > 0
