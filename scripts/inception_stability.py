@@ -123,6 +123,16 @@ def main():
                          "per seed, so prior-round seeds are the same "
                          "experiment; fresh workdir seeds take precedence "
                          "and contribute trajectories)")
+    ap.add_argument("--ref-rescored", type=str, default=None,
+                    help="json of {seed: {last/best: {frr_at_2faph}}} from "
+                         "scoring the reference's TFLite endpoints through "
+                         "OUR (interpolation-bug-fixed) evaluator; replaces "
+                         "the ref arm's own-evaluator FRRs so wobble rates "
+                         "are scored consistently.  The reference's "
+                         "generate_roc_curve fabricates FRR at the 2-faph "
+                         "anchor when NO cutoff is viable (test.py:170-172, "
+                         "parity.md §8.2), which systematically masks "
+                         "collapse-saturated endpoints.")
     args = ap.parse_args()
 
     res_dir = os.path.join(args.workdir, "seed_results")
@@ -142,7 +152,31 @@ def main():
             rec = json.load(f)
         arms.setdefault(arm, {})[int(seed)] = rec  # fresh run wins
 
+    if args.ref_rescored:
+        with open(args.ref_rescored) as f:
+            rescored = json.load(f)
+        for seed, res in rescored.items():
+            rec = arms.get("ref", {}).get(int(seed))
+            if rec is None:
+                continue
+            for which in ("last", "best"):
+                if which in res:
+                    rec[which] = dict(
+                        rec[which],
+                        frr_at_faph={"2.0": res[which]["frr_at_2faph"]},
+                        rescored_by_our_evaluator=True,
+                    )
+        report_note = (
+            "ref arm FRRs rescored through OUR evaluator (the reference's "
+            "generate_roc_curve fabricates frr at the 2-faph anchor when no "
+            "cutoff is viable, masking collapse-saturated endpoints)"
+        )
+    else:
+        report_note = None
+
     report = {"wobble_frr_threshold": WOBBLE_FRR, "arms": {}}
+    if report_note:
+        report["scoring_note"] = report_note
     for arm, by_seed in sorted(arms.items()):
         rows = []
         for seed, rec in sorted(by_seed.items()):
@@ -162,6 +196,7 @@ def main():
             })
         n = len(rows)
         wob = sum(r["last_wobbles"] for r in rows)
+        best_wob = sum(r["best_frr_at_2faph"] > WOBBLE_FRR for r in rows)
         dips = sum(
             r["trajectory"].get("collapses_after_first_convergence", 0)
             for r in rows
@@ -169,6 +204,7 @@ def main():
         report["arms"][arm] = {
             "seeds": n,
             "last_checkpoint_wobbles": wob,
+            "best_checkpoint_wobbles": best_wob,
             "wobble_rate": round(wob / n, 3) if n else None,
             "trajectory_collapses_total": dips,
             "mean_frac_evals_in_collapse": round(float(np.mean([
