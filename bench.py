@@ -227,15 +227,26 @@ def _roofline(cost, units_per_call, sec_per_unit, peaks,
         out["device_time_by_category"] = categories
     if peaks and fl and by:
         ridge = peaks["peak_flops_per_sec"] / peaks["hbm_bytes_per_sec"]
+        util = by / sec_per_unit / peaks["hbm_bytes_per_sec"]
         out.update(
             mfu=fl / sec_per_unit / peaks["peak_flops_per_sec"],
-            hbm_utilization=by / sec_per_unit / peaks["hbm_bytes_per_sec"],
+            hbm_utilization=util,
             roofline_bound=(
                 "compute" if (fl / by if by else 0.0) >= ridge else "memory"
             ),
             compute_floor_sec=fl / peaks["peak_flops_per_sec"],
             memory_floor_sec=by / peaks["hbm_bytes_per_sec"],
         )
+        if measured_bytes is not None and util > 1.0:
+            # Per-op trace bytes count each fused op's operands once per
+            # use; multi-consumer buffers that XLA keeps resident (e.g.
+            # the wide-gather output read by a k-way select) are counted
+            # k times, so a >1.0 reading means "at the bandwidth wall
+            # with some double counting", not physics violation.
+            out["hbm_utilization_note"] = (
+                "per-op trace bytes double-count multi-consumer fused "
+                "operands; treat as at-the-bandwidth-wall"
+            )
     return out
 
 
