@@ -49,7 +49,7 @@ def main(argv=None):
                         help="1 (default): all members train on member 0's "
                              "batch stream (one corpus gather per step "
                              "serves the whole population -- the measured-"
-                             "fastest sweep mode, ~1.6-1.8x aggregate "
+                             "fastest sweep mode, ~1.1-1.9x aggregate "
                              "member-steps/s vs serial on a v5e, rising "
                              "with n_models; members are NOT independent "
                              "draws -- see documentation/training.md §6); "
