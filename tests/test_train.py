@@ -278,3 +278,33 @@ def test_load_checkpoint_migrates_preflat_opt_state(tmp_path):
                                                   "step": 9}))
     again = T._load_checkpoint(str(path), template)
     assert again["step"] == 9
+
+
+def test_steps_per_call_auto_config(tmp_path):
+    """steps_per_call: 'auto' resolves without error (1 on CPU; TPU uses
+    min(100, eval_step_interval)) and trains normally."""
+    config = _synthetic_dataset(tmp_path, n_train=12)
+    config.update(
+        {
+            "train_dir": str(tmp_path / "run_auto"),
+            "batch_size": 16,
+            "spectrogram_length": 25,
+            "training_steps": [8],
+            "learning_rates": [0.01],
+            "eval_step_interval": 4,
+            "steps_per_call": "auto",
+        }
+    )
+    cfg = MixedNetConfig(
+        pointwise_filters=(8,),
+        repeat_in_block=(1,),
+        mixconv_kernel_sizes=((3,),),
+        residual_connection=(False,),
+        first_conv_filters=8,
+        first_conv_kernel_size=3,
+        spectrogram_length=25,
+    )
+    bundle = build_model("mixednet", cfg)
+    fh = FeatureHandler(config)
+    _, history = T.train(bundle, config, fh)
+    assert history[-1]["step"] == 8
