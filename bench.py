@@ -241,11 +241,14 @@ def _roofline(cost, units_per_call, sec_per_unit, peaks,
             # Per-op trace bytes count each fused op's operands once per
             # use; multi-consumer buffers that XLA keeps resident (e.g.
             # the wide-gather output read by a k-way select) are counted
-            # k times, so a >1.0 reading means "at the bandwidth wall
-            # with some double counting", not physics violation.
+            # k times, so a raw reading >1.0 means "at the bandwidth wall
+            # with some double counting", not physics violation.  Report
+            # the physical bound, keep the raw reading alongside.
+            out["hbm_utilization"] = 1.0
+            out["hbm_utilization_raw"] = util
             out["hbm_utilization_note"] = (
-                "per-op trace bytes double-count multi-consumer fused "
-                "operands; treat as at-the-bandwidth-wall"
+                "raw per-op trace bytes double-count multi-consumer fused "
+                "operands; clamped to the physical bound"
             )
     return out
 
